@@ -1,0 +1,283 @@
+"""Deterministic synthetic interleaved-document generator.
+
+Builds the engine's primary input table per the driver ``input_hint``:
+``documents(doc_id: string, spans: array<struct<kind:string, text:string,
+media_ref:string, offset:int>>)``. One ``scene_meta`` span per document
+carries a SAFE-style scene name plus a JSON record of the 16
+standardized metadata keys (reference ``pyroSAR/config.py:20-25``) and
+the footprint corner coordinates; ``text`` spans are filler; ``chip``
+spans carry synthetic ``media_ref`` raster-chip keys.
+
+Everything is derived columnarly from ``spark.range(n)`` via
+``xxhash64`` — no driver-side RNG, no Python UDFs — so the same
+generator runs at 10^12 rows on a cluster. Seeded and deterministic.
+
+``orbitNumber_rel`` is drawn from a power-law-skewed distribution over
+175 tracks (S1-like) to create the orbit-track hotspots that the
+salted joins must handle (SURVEY §2.3 J-coverage note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_TRACKS = 175
+
+# golden scenes lifted from the reference test suite so unit goldens
+# (outname_base, WKT, tile counts) can be asserted exactly
+# (reference tests/test_drivers.py:20-57, FIXTURES.md §2)
+GOLDEN_SCENES = [
+    {
+        "doc_id": "golden_s1",
+        "sensor": "S1A",
+        "acquisition_mode": "IW",
+        "product": "GRD",
+        "orbit": "A",
+        "start": "20150222T170750",
+        "stop": "20150222T170815",
+        "orbitNumber_abs": 4739,
+        "orbitNumber_rel": 117,
+        "cycleNumber": 43,
+        "frameNumber": 159,
+        "samples": 25368,
+        "lines": 16685,
+        "polarizations": ["VV", "VH"],
+        "coordinates": [
+            [12.0268, 50.688881],
+            [11.653832, 52.183979],
+            [8.017178, 51.788181],
+            [8.505644, 50.295261],
+        ],
+        "scene": "S1A_IW_GRDH_1SDV_20150222T170750_20150222T170815_004739_005DB3_1234.zip",
+    },
+    {
+        "doc_id": "golden_psr2",
+        "sensor": "PSR2",
+        "acquisition_mode": "FBD",
+        "product": "1.5",
+        "orbit": "A",
+        "start": "20140909T043342",
+        "stop": "20140909T043352",
+        "orbitNumber_abs": 1783,
+        "orbitNumber_rel": 111,
+        "cycleNumber": 17,
+        "frameNumber": 3050,
+        "samples": 12870,
+        "lines": 13160,
+        "polarizations": ["HH", "HV"],
+        "coordinates": [
+            [-62.1629744, -10.6783401],
+            [-62.9005207, -10.8278276],
+            [-62.1629744, -11.2738201],
+            [-62.6585706, -11.4233051],
+        ],
+        "scene": "0000022708_001001_ALOS2014410970-140909.zip",
+    },
+]
+
+META_KEYS = (
+    "sensor acquisition_mode product orbit start stop orbitNumber_abs "
+    "orbitNumber_rel cycleNumber frameNumber samples lines"
+).split()
+
+SPAN_SCHEMA = "array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+
+DOC_SCHEMA = f"doc_id string, spans {SPAN_SCHEMA}"
+
+# schema of the JSON payload inside a scene_meta span
+META_JSON_SCHEMA = (
+    "sensor string, acquisition_mode string, product string, orbit string, "
+    "start string, stop string, orbitNumber_abs int, orbitNumber_rel int, "
+    "cycleNumber int, frameNumber int, samples int, lines int, "
+    "polarizations array<string>, coordinates array<array<double>>, "
+    "projection string, spacing array<double>, scene string"
+)
+
+
+def _u(seed: int, tag: str) -> F.Column:
+    """Deterministic uniform [0,1) derived from the row id."""
+    h = F.xxhash64(F.col("id"), F.lit(seed), F.lit(tag))
+    return (F.pmod(h, F.lit(1_000_000_007)).cast("double")) / 1_000_000_007.0
+
+
+def _pick(u: F.Column, options: list[str]) -> F.Column:
+    n = len(options)
+    idx = F.floor(u * n).cast("int")
+    arr = F.array(*[F.lit(o) for o in options])
+    return F.element_at(arr, idx + 1)
+
+
+def generate_documents(
+    spark: SparkSession,
+    n_docs: int,
+    seed: int = 42,
+    include_golden: bool = True,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """Interleaved-documents table, deterministic in (n_docs, seed)."""
+    base = spark.range(n_docs, numPartitions=n_partitions)
+
+    u_track = _u(seed, "track")
+    track = (F.floor(F.pow(u_track, 3.0) * N_TRACKS) + 1).cast("int")
+    cycle = (F.floor(_u(seed, "cycle") * 60) + 1).cast("int")
+    orbit_abs = (track + cycle * N_TRACKS).cast("int")
+    frame = (F.floor(_u(seed, "frame") * 1800) + 1).cast("int")
+
+    sensor = _pick(_u(seed, "sensor"), ["S1A", "S1A", "S1A", "S1B", "S1B", "PSR2"])
+    mode = F.when(sensor == "PSR2", _pick(_u(seed, "mode"), ["FBD", "FBS"])).otherwise(
+        _pick(_u(seed, "mode"), ["IW", "IW", "IW", "EW"])
+    )
+    product = F.when(sensor == "PSR2", F.lit("1.5")).otherwise(
+        _pick(_u(seed, "prod"), ["GRD", "GRD", "SLC"])
+    )
+    orbit = _pick(_u(seed, "orbit"), ["A", "D"])
+    pols = _pick(_u(seed, "pols"), ["VV/VH", "VV/VH", "HH/HV", "VV", "HH"])
+    polarizations = F.split(pols, "/")
+
+    # acquisition time: 2015 epoch + uniform offset within one year,
+    # quantized to 5-minute slots so time-gap grouping has real sessions
+    t0 = F.to_timestamp(F.lit("2015-01-01 00:00:00"))
+    offs = F.floor(_u(seed, "time") * 365 * 86400 / 25).cast("long") * 25
+    start_ts = F.timestamp_seconds(F.unix_timestamp(t0) + offs)
+    stop_ts = F.timestamp_seconds(F.unix_timestamp(t0) + offs + 25)
+    start = F.date_format(start_ts, "yyyyMMdd'T'HHmmss")
+    stop = F.date_format(stop_ts, "yyyyMMdd'T'HHmmss")
+
+    # footprint: center clustered by track (hotspot geometry mirrors the
+    # hotspot key), sheared S1-like quad ~ 3.5° x 1.9°
+    lon0 = (track.cast("double") / N_TRACKS) * 340.0 - 170.0 + _u(seed, "lonj") * 8.0
+    lat0 = _u(seed, "lat") * 100.0 - 52.0
+    r6 = lambda c: F.round(c, 6)  # noqa: E731
+    coords = F.array(
+        F.array(r6(lon0 + 3.5), r6(lat0 + 0.39)),
+        F.array(r6(lon0 + 3.1), r6(lat0 + 1.89)),
+        F.array(r6(lon0), r6(lat0 + 1.49)),
+        F.array(r6(lon0 + 0.49), r6(lat0)),
+    )
+
+    scene_name = F.concat(
+        sensor, F.lit("_"), mode, F.lit("_"), product,
+        F.when(product == "GRD", "H").otherwise("_"),
+        F.lit("_1SDV_"), start, F.lit("_"), stop, F.lit("_"),
+        F.lpad(orbit_abs.cast("string"), 6, "0"), F.lit("_"),
+        F.upper(F.hex(F.pmod(F.xxhash64(F.col("id"), F.lit("dt")), F.lit(16777215)))),
+        F.lit(".zip"),
+    )
+
+    meta_json = F.to_json(
+        F.struct(
+            sensor.alias("sensor"),
+            mode.alias("acquisition_mode"),
+            product.alias("product"),
+            orbit.alias("orbit"),
+            start.alias("start"),
+            stop.alias("stop"),
+            orbit_abs.alias("orbitNumber_abs"),
+            track.alias("orbitNumber_rel"),
+            cycle.alias("cycleNumber"),
+            frame.alias("frameNumber"),
+            (F.floor(_u(seed, "samples") * 20000) + 10000).cast("int").alias("samples"),
+            (F.floor(_u(seed, "lines") * 12000) + 8000).cast("int").alias("lines"),
+            polarizations.alias("polarizations"),
+            coords.alias("coordinates"),
+            F.lit("+proj=longlat +datum=WGS84 +no_defs").alias("projection"),
+            F.array(F.lit(10.0), F.lit(10.0)).alias("spacing"),
+            scene_name.alias("scene"),
+        )
+    )
+
+    doc_id = F.format_string("doc_%012d", F.col("id"))
+    n_chips = (F.pmod(F.xxhash64(F.col("id"), F.lit("nchips")), F.lit(3)) + 1).cast("int")
+    filler = F.concat(
+        F.lit("acquisition report "), scene_name, F.lit(" track="), track.cast("string")
+    )
+    span_meta = F.struct(
+        F.lit("scene_meta").alias("kind"),
+        F.concat(scene_name, F.lit("|"), meta_json).alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    span_text = F.struct(
+        F.lit("text").alias("kind"),
+        filler.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    chip_spans = F.transform(
+        F.sequence(F.lit(0), n_chips - 1),
+        lambda i: F.struct(
+            F.lit("chip").alias("kind"),
+            F.lit("").alias("text"),
+            F.concat(F.lit("chip://"), doc_id, F.lit("/"), i.cast("string")).alias(
+                "media_ref"
+            ),
+            (i + F.lit(2)).cast("int").alias("offset"),
+        ),
+    )
+    spans = F.concat(F.array(span_meta, span_text), chip_spans)
+
+    docs = base.select(doc_id.alias("doc_id"), spans.alias("spans"))
+
+    if include_golden:
+        docs = docs.unionByName(golden_documents(spark))
+    return docs
+
+
+def golden_documents(spark: SparkSession) -> DataFrame:
+    """The two golden scenes as literal documents (FIXTURES.md §2)."""
+    import json
+
+    rows = []
+    for g in GOLDEN_SCENES:
+        meta = {k: g[k] for k in META_KEYS}
+        meta["polarizations"] = g["polarizations"]
+        meta["coordinates"] = g["coordinates"]
+        meta["projection"] = "+proj=longlat +datum=WGS84 +no_defs"
+        meta["spacing"] = [10.0, 10.0]
+        meta["scene"] = g["scene"]
+        text = g["scene"] + "|" + json.dumps(meta)
+        spans = [
+            ("scene_meta", text, "", 0),
+            ("text", "golden filler " + g["doc_id"], "", 1),
+            ("chip", "", f"chip://{g['doc_id']}/0", 2),
+        ]
+        rows.append((g["doc_id"], spans))
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def generate_osv(spark: SparkSession, n_files: int = 2000, seed: int = 42) -> DataFrame:
+    """Synthetic orbit-file interval table (FIXTURES.md §5).
+
+    POE files: one per day per sensor, validity [d-1 02:00, d+1 22:00]
+    (reference POE files span ~2 days around the acquisition date;
+    ``S1/auxil.py:124-129`` parses start/stop/publish from the name).
+    RES files: 6-hourly, ~3h span, published quickly.
+    """
+    base = spark.range(n_files)
+    sensor = _pick(_u(seed, "osv_sensor"), ["S1A", "S1B"])
+    typ = _pick(_u(seed, "osv_type"), ["POE", "RES", "RES"])
+    day = F.floor(_u(seed, "osv_day") * 365).cast("long")
+    t0 = F.unix_timestamp(F.to_timestamp(F.lit("2015-01-01 00:00:00")))
+    fmt = "yyyyMMdd'T'HHmmss"
+    start_s = F.when(typ == "POE", t0 + day * 86400 - 79200).otherwise(
+        t0 + day * 86400 + F.floor(_u(seed, "osv_h") * 4).cast("long") * 21600
+    )
+    stop_s = F.when(typ == "POE", start_s + 2 * 86400 - 1).otherwise(start_s + 10800)
+    pub_s = F.when(typ == "POE", stop_s + 14 * 86400).otherwise(stop_s + 10800)
+    start = F.date_format(F.timestamp_seconds(start_s), fmt)
+    stop = F.date_format(F.timestamp_seconds(stop_s), fmt)
+    publish = F.date_format(F.timestamp_seconds(pub_s), fmt)
+    fname = F.concat(
+        sensor,
+        F.when(typ == "POE", "_OPER_AUX_POEORB_OPOD_").otherwise("_OPER_AUX_RESORB_OPOD_"),
+        publish, F.lit("_V"), start, F.lit("_"), stop, F.lit(".EOF"),
+    )
+    return base.select(
+        sensor.alias("sensor"),
+        typ.alias("type"),
+        publish.alias("publish"),
+        start.alias("start"),
+        stop.alias("stop"),
+        fname.alias("filename"),
+    ).distinct()

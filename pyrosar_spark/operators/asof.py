@@ -1,0 +1,142 @@
+"""Temporal interval / as-of joins (OSV orbit-file matching).
+
+Reference semantics (``pyroSAR/S1/auxil.py:545-587``):
+ - a file matches a scene timestamp ``t`` iff ``start <= t <= stop``
+   (lexicographic string compare on ``YYYYmmddTHHMMSS``) and the file
+   name starts with the sensor;
+ - among matches of one type, the **latest publish** wins
+   (``S1/auxil.py:576-579``);
+ - with ``osvtype=['POE','RES']``, POE is preferred and RES is the
+   fallback (``S1/auxil.py:583-587``).
+Also: the RES-superseded prune (``S1/auxil.py:480-489``): delete RES
+files whose ``stop`` predates the newest POE coverage. And the generic
+interval-overlap filter ``start2 < stop AND stop2 > start``
+(``S1/auxil.py:278``).
+
+Scale notes: the OSV table is tiny (orbit files per year ≈ 10^3-10^4)
+→ always broadcast; the join is a broadcast range join, so no shuffle
+of the scene side at all. The window dedup partitions by scene key —
+high cardinality, no skew. For two *large* interval sides, use
+:func:`salted_interval_join` which buckets time into coarse slots
+(equi-join key) exactly like the cell-grid spatial join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+TYPE_RANK = {"POE": 0, "RES": 1}
+
+
+def osv_match(
+    scenes: DataFrame,
+    osv: DataFrame,
+    osvtype: str | list[str] = "POE",
+    ts_col: str = "start",
+    sensor_col: str = "sensor",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Best orbit file per scene (left join; NULL when no match).
+
+    Output: scene key + ``osv_filename``/``osv_type``/``osv_publish``.
+    """
+    types = [osvtype] if isinstance(osvtype, str) else list(osvtype)
+    o = osv.where(F.col("type").isin(types)).select(
+        F.col("sensor").alias("_osv_sensor"),
+        F.col("type").alias("osv_type"),
+        F.col("publish").alias("osv_publish"),
+        F.col("start").alias("_osv_start"),
+        F.col("stop").alias("_osv_stop"),
+        F.col("filename").alias("osv_filename"),
+    )
+    s = scenes.select(key_col, F.col(ts_col).alias("_t"), F.col(sensor_col).alias("_sensor"))
+    cand = s.join(
+        F.broadcast(o),
+        (F.col("_t") >= F.col("_osv_start"))
+        & (F.col("_t") <= F.col("_osv_stop"))
+        & (F.col("_osv_sensor") == F.col("_sensor")),
+        how="left",
+    )
+    type_rank = F.when(F.col("osv_type") == "POE", 0).otherwise(1)
+    w = W.partitionBy(key_col).orderBy(
+        F.col("osv_type").isNull().cast("int"),
+        type_rank,
+        F.col("osv_publish").desc(),
+        F.col("osv_filename").asc(),
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(key_col, "osv_filename", "osv_type", "osv_publish")
+    )
+
+
+def res_prune(osv: DataFrame) -> DataFrame:
+    """Drop RES files fully superseded by POE coverage
+    (``S1/auxil.py:480-489``): RES with ``stop < max(POE.stop)``."""
+    max_poe = osv.where(F.col("type") == "POE").groupBy("sensor").agg(
+        F.max("stop").alias("_max_poe_stop")
+    )
+    res = osv.where(F.col("type") == "RES")
+    keep_res = (
+        res.join(F.broadcast(max_poe), on="sensor", how="left")
+        .where(F.col("_max_poe_stop").isNull() | (F.col("stop") >= F.col("_max_poe_stop")))
+        .drop("_max_poe_stop")
+    )
+    return osv.where(F.col("type") != "RES").unionByName(keep_res)
+
+
+def overlap_filter(
+    df: DataFrame, start_col: str, stop_col: str, window_start: str, window_stop: str
+) -> DataFrame:
+    """Interval-overlap predicate ``start2 < stop AND stop2 > start``
+    (``S1/auxil.py:227,278``)."""
+    return df.where((F.col(start_col) < window_stop) & (F.col(stop_col) > window_start))
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "start",
+    stop_col: str = "stop",
+    extra_pred: Column | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Generic broadcast interval join: event ``t`` in [start, stop]."""
+    pred = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(stop_col))
+    if extra_pred is not None:
+        pred = pred & extra_pred
+    return events.join(F.broadcast(intervals), pred, how=how)
+
+
+def salted_interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str = "start",
+    stop_col: str = "stop",
+    slot_seconds: int = 86400,
+    ts_fmt: str = "yyyyMMdd'T'HHmmss",
+) -> DataFrame:
+    """Large-large interval join via time-slot bucketing.
+
+    Both sides get an integer slot key (intervals exploded across every
+    slot they overlap), the join becomes an equi-join on the slot —
+    shuffle-partitionable and AQE-skew-splittable — and the exact
+    interval predicate refines. This is the time-axis analog of the
+    cell-grid spatial join, and the "salted range join" the north rule
+    asks for: hot slots (orbit-track bursts) spread across partitions
+    by (slot, hash(event key)) instead of a single reducer.
+    """
+    ev_slot = (F.unix_timestamp(F.to_timestamp(F.col(ts_col), ts_fmt)) / slot_seconds).cast("long")
+    iv_first = (F.unix_timestamp(F.to_timestamp(F.col(start_col), ts_fmt)) / slot_seconds).cast("long")
+    iv_last = (F.unix_timestamp(F.to_timestamp(F.col(stop_col), ts_fmt)) / slot_seconds).cast("long")
+    e = events.withColumn("_slot", ev_slot)
+    i = intervals.withColumn("_slot", F.explode(F.sequence(iv_first, iv_last)))
+    joined = e.join(i, on="_slot", how="inner").where(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(stop_col))
+    )
+    return joined.drop("_slot")

@@ -1,0 +1,229 @@
+"""Ingest: interleaved documents → scene catalog.
+
+Reproduces the reference ingest pipeline (``identify`` →
+``Archive.insert``, ``pyroSAR/drivers.py:69-186`` +
+``pyroSAR/archive.py:513-599``) as columnar Spark:
+
+ - span text parse: JVM-side (``filter``/``from_json``/``regexp``), no
+   Python in the metadata path;
+ - footprint geometry: convex hull + CCW ring + WKB in one Arrow UDF
+   (``drivers.py:287-342`` semantics, see :mod:`pyrosar_spark.geom`);
+ - duplicate routing: first registration of a ``(product,
+   outname_base)`` key wins, later arrivals land in ``duplicates``
+   (``archive.py:563-577``) — implemented as a window rank over a
+   stable ingest sequence.
+
+Scale notes: parsing is embarrassingly parallel (no shuffle); the
+dedup window shuffles once on the composite key, which is
+high-cardinality (≈ one per scene) so no skew; geometry UDF is
+Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from pyrosar_spark import geom
+from pyrosar_spark.datagen import META_JSON_SCHEMA
+from pyrosar_spark.functions.naming import outname_base_col
+
+POL_FLAGS = ("hh", "vv", "hv", "vh")
+
+SCENE_COLUMNS = [
+    "doc_id", "sensor", "orbit", "orbitNumber_abs", "orbitNumber_rel",
+    "cycleNumber", "frameNumber", "acquisition_mode", "start", "stop",
+    "product", "samples", "lines", "outname_base", "scene",
+    "hh", "vv", "hv", "vh",
+    "corners", "xmin", "xmax", "ymin", "ymax", "geometry",
+]
+
+
+@F.pandas_udf(T.BinaryType())
+def footprint_wkb(coords: pd.Series) -> pd.Series:
+    """Convex hull of the corner list → canonical CCW closed-ring WKB.
+
+    Arrow-batched; mirrors ``drivers.py:316-331`` (hull, CCW exterior).
+    """
+    out = []
+    for pts in coords:
+        if pts is None or len(pts) == 0:
+            out.append(None)
+            continue
+        ring = geom.convex_hull_ring([[p[0], p[1]] for p in pts])
+        out.append(geom.ring_to_wkb(ring))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def wkb_to_wkt_udf(wkb: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if b is None else geom.ring_to_wkt(geom.wkb_to_ring(bytes(b))) for b in wkb]
+    )
+
+
+def scene_meta_text(spans: Column) -> Column:
+    """Text of the first ``scene_meta`` span (NULL if none)."""
+    metas = F.filter(spans, lambda s: s.kind == F.lit("scene_meta"))
+    return F.when(F.size(metas) > 0, F.element_at(metas, 1).text)
+
+
+def docs_to_scenes(docs: DataFrame, with_geometry: bool = True) -> DataFrame:
+    """Parse the ``scene_meta`` span of each document into a catalog row
+    with the reference ``data``-table schema (``archive.py:374-394``):
+    polarization flags denormalized to 0/1 ints (``archive.py:476-477``),
+    ``outname_base`` per ``drivers.py:584-608``, bbox + WKB footprint.
+
+    Documents without a parseable scene_meta span are dropped
+    (reference: ``identify_many`` drops failures, ``drivers.py:123-186``).
+    """
+    txt = scene_meta_text(F.col("spans"))
+    parsed = (
+        docs.select("doc_id", txt.alias("_meta_text"))
+        .where(F.col("_meta_text").isNotNull())
+        .select(
+            "doc_id",
+            F.from_json(
+                F.expr("substring(_meta_text, instr(_meta_text, '|') + 1)"),
+                META_JSON_SCHEMA,
+            ).alias("m"),
+        )
+        .where(F.col("m").isNotNull() & F.col("m.sensor").isNotNull())
+    )
+    lons = F.transform(F.col("m.coordinates"), lambda c: F.element_at(c, 1))
+    lats = F.transform(F.col("m.coordinates"), lambda c: F.element_at(c, 2))
+    corners = F.transform(
+        F.col("m.coordinates"),
+        lambda c: F.struct(
+            F.element_at(c, 1).alias("lon"), F.element_at(c, 2).alias("lat")
+        ),
+    )
+    geometry = (
+        footprint_wkb(F.col("m.coordinates"))
+        if with_geometry
+        else F.lit(None).cast("binary")
+    )
+    out = parsed.select(
+        "doc_id",
+        F.col("m.sensor").alias("sensor"),
+        F.col("m.orbit").alias("orbit"),
+        F.col("m.orbitNumber_abs").alias("orbitNumber_abs"),
+        F.col("m.orbitNumber_rel").alias("orbitNumber_rel"),
+        F.col("m.cycleNumber").alias("cycleNumber"),
+        F.col("m.frameNumber").alias("frameNumber"),
+        F.col("m.acquisition_mode").alias("acquisition_mode"),
+        F.col("m.start").alias("start"),
+        F.col("m.stop").alias("stop"),
+        F.col("m.product").alias("product"),
+        F.col("m.samples").alias("samples"),
+        F.col("m.lines").alias("lines"),
+        outname_base_col(
+            F.col("m.sensor"), F.col("m.acquisition_mode"), F.col("m.orbit"), F.col("m.start")
+        ).alias("outname_base"),
+        F.col("m.scene").alias("scene"),
+        *[
+            F.array_contains(F.col("m.polarizations"), p.upper()).cast("int").alias(p)
+            for p in POL_FLAGS
+        ],
+        corners.alias("corners"),
+        F.array_min(lons).alias("xmin"),
+        F.array_max(lons).alias("xmax"),
+        F.array_min(lats).alias("ymin"),
+        F.array_max(lats).alias("ymax"),
+        geometry.alias("geometry"),
+    )
+    return out.select(*SCENE_COLUMNS)
+
+
+def insert_scenes(
+    new_scenes: DataFrame,
+    existing: DataFrame | None = None,
+    existing_duplicates: DataFrame | None = None,
+    seq_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Route scenes into (data, duplicates) — ``archive.py:563-577``.
+
+    First registration of ``(product, outname_base)`` (by the stable
+    ingest sequence ``seq_col``) goes to data; same-key, different
+    ``scene`` arrivals go to duplicates; exact re-registrations (same
+    PK *and* same scene path) are skipped. A scene whose basename is
+    already in either table is skipped too (``filter_scenelist``,
+    ``archive.py:717-745``).
+    """
+    key = ["product", "outname_base"]
+    candidates = new_scenes
+    if existing is not None:
+        candidates = candidates.join(
+            existing.select("scene").distinct(), on="scene", how="left_anti"
+        )
+    if existing_duplicates is not None:
+        candidates = candidates.join(
+            existing_duplicates.select("scene").distinct(), on="scene", how="left_anti"
+        )
+    rank_w = W.partitionBy(*key).orderBy(F.col(seq_col))
+    ranked = candidates.withColumn("_rk", F.row_number().over(rank_w))
+    fresh = ranked.where(F.col("_rk") == 1).drop("_rk")
+    dups_batch = ranked.where(F.col("_rk") > 1).drop("_rk")
+    if existing is not None:
+        reg_keys = existing.select(*key).distinct()
+        promoted = fresh.join(reg_keys, on=key, how="left_anti")
+        demoted = fresh.join(reg_keys, on=key, how="left_semi")
+        data_out = existing.unionByName(promoted)
+        dups_batch = dups_batch.unionByName(demoted)
+    else:
+        data_out = fresh
+    dup_rows = dups_batch.select("outname_base", "scene")
+    if existing_duplicates is not None:
+        dup_rows = existing_duplicates.select("outname_base", "scene").unionByName(dup_rows)
+    return data_out, dup_rows.distinct()
+
+
+def is_registered(data: DataFrame, duplicates: DataFrame, scene: str) -> bool:
+    """Membership probe (``archive.py:601-627``)."""
+    base = scene.split("/")[-1]
+    in_data = data.where(F.col("scene").contains(base)).limit(1).count() > 0
+    if in_data:
+        return True
+    return duplicates.where(F.col("scene").contains(base)).limit(1).count() > 0
+
+
+def filter_scenelist(
+    data: DataFrame, duplicates: DataFrame, scenes: DataFrame, scene_col: str = "scene"
+) -> DataFrame:
+    """Drop scenes whose basename is already registered in either table
+    (``archive.py:717-745``) — anti-join on basename."""
+    base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
+    registered = (
+        data.select(base(F.col("scene")).alias("_b"))
+        .unionByName(duplicates.select(base(F.col("scene")).alias("_b")))
+        .distinct()
+    )
+    return scenes.join(
+        registered, base(F.col(scene_col)) == F.col("_b"), how="left_anti"
+    )
+
+
+def drop_element(
+    data: DataFrame, duplicates: DataFrame, scene: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Delete a catalog row; promote its first duplicate if one exists
+    (``archive.py:1202-1267``)."""
+    victim = data.where(F.col("scene") == scene)
+    remaining = data.where(F.col("scene") != scene)
+    promo_w = W.partitionBy("outname_base").orderBy("scene")
+    promo = (
+        duplicates.join(victim.select("outname_base"), on="outname_base", how="left_semi")
+        .withColumn("_rk", F.row_number().over(promo_w))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    new_dups = duplicates.join(promo, on=["outname_base", "scene"], how="left_anti")
+    return remaining, new_dups, promo
+
+
+def archive_size(data: DataFrame, duplicates: DataFrame) -> tuple[int, int]:
+    """(rows in data, rows in duplicates) — ``archive.py:1170-1183``."""
+    return data.count(), duplicates.count()

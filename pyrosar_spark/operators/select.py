@@ -1,0 +1,186 @@
+"""``Archive.select`` — the reference's query surface as a DataFrame
+plan builder (``pyroSAR/archive.py:902-1113``).
+
+Semantic parity points (SURVEY §2.2):
+ - P1/P2 scalar equality and IN-lists; values compared after string
+   cast like the reference's ``k='{v}'`` textual SQL;
+ - P3 ``scene LIKE '%basename%'``;
+ - P4/P5 ``date_strict`` toggles fully-inside vs overlap range on the
+   lexicographic ``YYYYmmddTHHMMSS`` strings;
+ - P6 malformed min/max dates are *ignored with a warning*, not errors;
+ - P7 polarization flags ``{pol}=1`` with unknown pols silently dropped;
+ - P9 kwargs not matching a column are logged and dropped;
+ - P10 projection incl. virtual columns mindate/maxdate/geometry_wkt/
+   geometry_wkb; invalid names raise ValueError;
+ - P11 ``processdir`` anti-filter as an anti-join (never per-row I/O).
+
+Every non-spatial predicate is a plain Catalyst filter → pushed into
+the parquet/Iceberg scan. The spatial predicate (P8/J1) is a
+bbox-prefilter (JVM) + exact polygon test in one Arrow UDF; the
+many-AOI variant lives in :mod:`pyrosar_spark.operators.spatial`.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pyrosar_spark import geom
+from pyrosar_spark.operators.ingest import wkb_to_wkt_udf
+
+log = logging.getLogger(__name__)
+
+VIRTUAL_RETURNS = {"mindate": "start", "maxdate": "stop"}
+GEOM_RETURNS = ("geometry_wkt", "geometry_wkb")
+_STAMP_RE = re.compile("[0-9]{8}T[0-9]{6}")
+
+
+def _aoi_intersects_udf(aoi_ring: np.ndarray):
+    """Exact st_intersects(scene_footprint, AOI) over WKB batches."""
+    ring = np.asarray(aoi_ring, dtype=np.float64)
+
+    @F.pandas_udf(T.BooleanType())
+    def intersects(wkb: pd.Series) -> pd.Series:
+        mask = wkb.notna()
+        out = np.zeros(len(wkb), dtype=bool)
+        if mask.any():
+            out[mask.to_numpy()] = geom.wkb_batch_intersects(
+                [bytes(b) for b in wkb[mask]], ring
+            )
+        return pd.Series(out)
+
+    return intersects
+
+
+def select(
+    scenes: DataFrame,
+    sensor=None,
+    product=None,
+    acquisition_mode=None,
+    mindate: str | None = None,
+    maxdate: str | None = None,
+    aoi_wkt: str | None = None,
+    date_strict: bool = True,
+    polarizations: list[str] | None = None,
+    processed_names: DataFrame | None = None,
+    return_value=None,
+    **kwargs,
+) -> DataFrame:
+    """Build the reference's conjunctive SELECT as a DataFrame.
+
+    ``processed_names`` is a one-column DataFrame (``filename``) standing
+    in for the reference's ``processdir`` directory listing; rows whose
+    ``outname_base`` is contained in any filename are anti-filtered
+    (``archive.py:1092-1095``).
+    """
+    valid_cols = set(scenes.columns)
+    df = scenes
+
+    # P10 projection validation happens before any filtering (reference
+    # raises before executing: archive.py:986-995)
+    if return_value is None:
+        return_values = ["scene"]
+    elif isinstance(return_value, str):
+        return_values = [return_value]
+    else:
+        return_values = list(return_value)
+    invalid = [
+        v
+        for v in return_values
+        if v not in valid_cols and v not in VIRTUAL_RETURNS and v not in GEOM_RETURNS
+    ]
+    if invalid:
+        raise ValueError(
+            "The following options are not supported as return values: "
+            + ", ".join(invalid)
+        )
+
+    # P9: unknown kwargs dropped with a log line (archive.py:997-1001)
+    for key in list(kwargs):
+        if key not in valid_cols:
+            log.info("ignoring argument not registered in the catalog: %s", key)
+            kwargs.pop(key)
+
+    def eq_or_in(col: str, v) -> Column:
+        if isinstance(v, (tuple, list)):
+            return F.col(col).cast("string").isin([str(x) for x in v])
+        return F.col(col).cast("string") == str(v)
+
+    for key, v in kwargs.items():
+        if key == "scene":  # P3: LIKE '%basename%'
+            df = df.where(F.col("scene").contains(str(v).split("/")[-1]))
+        else:
+            df = df.where(eq_or_in(key, v))
+
+    for col, v in (("sensor", sensor), ("product", product), ("acquisition_mode", acquisition_mode)):
+        if v:
+            df = df.where(eq_or_in(col, v))
+
+    # P4/P5/P6 date range on lexicographic stamps
+    if mindate:
+        if _STAMP_RE.search(str(mindate)):
+            df = df.where(
+                (F.col("start") >= mindate) if date_strict else (F.col("stop") >= mindate)
+            )
+        else:
+            log.info("WARNING: argument mindate is ignored, must be YYYYmmddTHHMMSS")
+    if maxdate:
+        if _STAMP_RE.search(str(maxdate)):
+            df = df.where(
+                (F.col("stop") <= maxdate) if date_strict else (F.col("start") <= maxdate)
+            )
+        else:
+            log.info("WARNING: argument maxdate is ignored, must be YYYYmmddTHHMMSS")
+
+    # P7 polarization flags; unknown strings silently ignored
+    for pol in polarizations or []:
+        if pol in ("HH", "VV", "HV", "VH"):
+            df = df.where(F.col(pol.lower()) == 1)
+
+    # P8/J1 spatial: bbox prefilter (JVM, prunable) + exact refine (Arrow)
+    if aoi_wkt:
+        ring = geom.wkt_to_ring(aoi_wkt)
+        axmin, aymin = ring.min(axis=0)
+        axmax, aymax = ring.max(axis=0)
+        df = df.where(
+            (F.col("xmin") <= float(axmax))
+            & (F.col("xmax") >= float(axmin))
+            & (F.col("ymin") <= float(aymax))
+            & (F.col("ymax") >= float(aymin))
+        )
+        df = df.where(_aoi_intersects_udf(ring)(F.col("geometry")))
+
+    # P11 processdir anti-filter: outname_base contained in a processed
+    # file name → drop. Anti-join, never per-row filesystem scans.
+    if processed_names is not None:
+        hits = (
+            df.select("outname_base")
+            .distinct()
+            .join(
+                processed_names,
+                F.col("filename").contains(F.col("outname_base")),
+                how="inner",
+            )
+            .select("outname_base")
+            .distinct()
+        )
+        df = df.join(F.broadcast(hits), on="outname_base", how="left_anti")
+
+    # P10 projection
+    proj = []
+    for v in return_values:
+        if v in VIRTUAL_RETURNS:
+            proj.append(F.col(VIRTUAL_RETURNS[v]).alias(v))
+        elif v == "geometry_wkt":
+            proj.append(wkb_to_wkt_udf(F.col("geometry")).alias("geometry_wkt"))
+        elif v == "geometry_wkb":
+            proj.append(F.col("geometry").alias("geometry_wkb"))
+        else:
+            proj.append(F.col(v))
+    return df.select(*proj)

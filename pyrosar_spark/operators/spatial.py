@@ -1,0 +1,215 @@
+"""Scalable spatial join + kNN over lat/lon grid cells.
+
+The reference evaluates ``st_intersects`` with a full table scan in
+SpatiaLite (``pyroSAR/archive.py:1070`` — the R-tree index tables exist
+but the query never uses them). At 10^12 rows that is not an option, so
+the engine uses the classic two-stage distributed spatial join:
+
+ 1. **coarse**: cover each geometry's bbox with integer lat/lon grid
+    cells (pure ``sequence``/``explode`` — JVM-side, no UDF) and
+    equi-join on the cell id. This is the only shuffle, and it is on a
+    high-cardinality key; hot cells can be salted (see
+    :func:`cover_cells` ``salt`` note).
+ 2. **refine**: exact polygon-polygon intersect on the candidate pairs
+    inside one Arrow UDF (numpy kernels from :mod:`pyrosar_spark.geom`).
+
+Grid resolution trades replication (rows × cells/bbox) against
+candidate precision; 1° matches SAR scene footprints (~2-4 cells).
+
+kNN scene matching (SURVEY J10): candidate generation via a 3×3 cell
+neighborhood ring join, haversine centroid distance, ``row_number``
+top-k with deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from pyrosar_spark import geom
+
+CELL_DEG = 1.0
+
+
+def cell_id(lat_idx: Column, lon_idx: Column) -> Column:
+    """Integer cell id for a (floor(lat), floor(lon)) pair."""
+    return (lat_idx.cast("long") + 90) * 360 + (lon_idx.cast("long") + 180)
+
+
+def cover_cells(
+    df: DataFrame,
+    xmin="xmin",
+    xmax="xmax",
+    ymin="ymin",
+    ymax="ymax",
+    cell_deg: float = CELL_DEG,
+    out: str = "cell",
+) -> DataFrame:
+    """Explode each row into the grid cells covering its bbox.
+
+    JVM-only (``sequence`` + ``explode``). For extreme single-cell skew
+    the join key can be salted afterwards:
+    ``withColumn('salt', pmod(xxhash64('doc_id'), lit(n)))`` replicated
+    on the smaller side.
+    """
+    s = float(cell_deg)
+    lat_seq = F.sequence(F.floor(F.col(ymin) / s).cast("long"), F.floor(F.col(ymax) / s).cast("long"))
+    lon_seq = F.sequence(F.floor(F.col(xmin) / s).cast("long"), F.floor(F.col(xmax) / s).cast("long"))
+    n_lon = int(round(360.0 / s))
+    return (
+        df.withColumn("_la", F.explode(lat_seq))
+        .withColumn("_lo", F.explode(lon_seq))
+        .withColumn(out, (F.col("_la") + int(round(90 / s))) * n_lon + F.col("_lo") + int(round(180 / s)))
+        .drop("_la", "_lo")
+    )
+
+
+@F.pandas_udf(T.BooleanType())
+def _pairs_intersect(left_wkb: pd.Series, right_wkb: pd.Series) -> pd.Series:
+    """Exact intersects for aligned WKB pairs (Arrow batch).
+
+    Groups the batch by distinct right geometry so each AOI ring is
+    tested against its candidates in one vectorized call.
+    """
+    out = np.zeros(len(left_wkb), dtype=bool)
+    rb = right_wkb.map(lambda b: bytes(b) if b is not None else None)
+    lb = left_wkb
+    frame = pd.DataFrame({"l": lb, "r": rb})
+    for rkey, grp in frame.groupby("r", sort=False):
+        if rkey is None:
+            continue
+        ring = geom.wkb_to_ring(rkey)
+        mask = grp["l"].notna()
+        idx = grp.index[mask]
+        if len(idx):
+            res = geom.wkb_batch_intersects([bytes(b) for b in grp.loc[idx, "l"]], ring)
+            out[frame.index.get_indexer(idx)] = res
+    return pd.Series(out)
+
+
+def spatial_join(
+    scenes: DataFrame,
+    aois: DataFrame,
+    cell_deg: float = CELL_DEG,
+    broadcast_aoi: bool = True,
+    scene_keys: list[str] | None = None,
+    aoi_keys: list[str] | None = None,
+) -> DataFrame:
+    """Scene × AOI polygon-intersect join (J1 at many-AOI scale).
+
+    ``scenes`` needs bbox cols + ``geometry`` WKB; ``aois`` needs
+    ``aoi_id``, bbox cols (``a_xmin``...) or a ``wkt`` column from which
+    they are derived, and ``a_geometry`` WKB.
+    Returns scene keys × ``aoi_id`` candidate-refined pairs.
+    """
+    scene_keys = scene_keys or ["doc_id"]
+    if "a_geometry" not in aois.columns:
+        raise ValueError("aois must carry a_geometry WKB + a_xmin/a_xmax/a_ymin/a_ymax")
+    a = cover_cells(aois, "a_xmin", "a_xmax", "a_ymin", "a_ymax", cell_deg, out="cell")
+    s = cover_cells(scenes, cell_deg=cell_deg, out="cell")
+    if broadcast_aoi:
+        a = F.broadcast(a)
+    cand = s.join(a, on="cell", how="inner")
+    # a bbox pair may share several cells → dedup before the exact test
+    keep = scene_keys + ["geometry"] + (aoi_keys or ["aoi_id"]) + ["a_geometry"]
+    cand = cand.select(*keep).dropDuplicates(scene_keys + (aoi_keys or ["aoi_id"]))
+    refined = cand.where(_pairs_intersect(F.col("geometry"), F.col("a_geometry")))
+    return refined.drop("geometry", "a_geometry")
+
+
+def aoi_frame(spark, aoi_wkts: list[tuple[str, str]]) -> DataFrame:
+    """Build the AOI side from (aoi_id, wkt) pairs (driver-side tiny)."""
+    rows = []
+    for aoi_id, wkt in aoi_wkts:
+        ring = geom.wkt_to_ring(wkt)
+        rows.append(
+            (
+                aoi_id,
+                float(ring[:, 0].min()),
+                float(ring[:, 0].max()),
+                float(ring[:, 1].min()),
+                float(ring[:, 1].max()),
+                bytearray(geom.ring_to_wkb(ring)),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "aoi_id string, a_xmin double, a_xmax double, a_ymin double, a_ymax double, a_geometry binary",
+    )
+
+
+# -- kNN scene matching (J10) ------------------------------------------------
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    r = 6371.0088
+    p = 3.141592653589793 / 180.0
+    dlat = (lat2 - lat1) * p / 2
+    dlon = (lon2 - lon1) * p / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(lat1 * p) * F.cos(lat2 * p) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2 * r) * F.asin(F.sqrt(a))
+
+
+def knn_scenes(
+    scenes: DataFrame,
+    k: int = 3,
+    cell_deg: float = CELL_DEG,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """k nearest neighbor scenes by footprint-centroid distance.
+
+    Candidates come from a 3×3 cell-neighborhood self-join (each scene
+    is indexed into its centroid cell and probes the 9 surrounding
+    cells), so the shuffle is a cell-id equi-join, not a cross join.
+    Ties broken on neighbor id — fully deterministic (SURVEY §7 hard
+    part (e)). Scenes whose neighbors all fall outside the 3×3 ring
+    return fewer than k matches (documented trade-off of the ring
+    prefilter; widen ``cell_deg`` for sparser catalogs).
+    """
+    s = float(cell_deg)
+    n_lon = int(round(360.0 / s))
+    cent = scenes.select(
+        F.col(id_col),
+        ((F.col("xmin") + F.col("xmax")) / 2).alias("cx"),
+        ((F.col("ymin") + F.col("ymax")) / 2).alias("cy"),
+    )
+    home = cent.select(
+        id_col, "cx", "cy",
+        F.floor(F.col("cy") / s).cast("long").alias("_la"),
+        F.floor(F.col("cx") / s).cast("long").alias("_lo"),
+    )
+    # probe side: replicate into the 9 neighbor cells
+    offsets = F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
+    probe = (
+        home.withColumn("_o", F.explode(offsets))
+        .withColumn("_cell", ((F.col("_la") + F.col("_o.dy") + int(round(90 / s))) * n_lon
+                              + F.pmod(F.col("_lo") + F.col("_o.dx") + int(round(180 / s)), F.lit(n_lon))))
+        .select(F.col(id_col).alias("q_id"), F.col("cx").alias("q_cx"),
+                F.col("cy").alias("q_cy"), "_cell")
+    )
+    index = home.withColumn(
+        "_cell", (F.col("_la") + int(round(90 / s))) * n_lon
+        + F.pmod(F.col("_lo") + int(round(180 / s)), F.lit(n_lon))
+    ).select(F.col(id_col).alias("n_id"), F.col("cx").alias("n_cx"),
+             F.col("cy").alias("n_cy"), "_cell")
+    cand = (
+        probe.join(index, on="_cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .dropDuplicates(["q_id", "n_id"])
+        .withColumn("dist_km", haversine_km(F.col("q_cy"), F.col("q_cx"),
+                                            F.col("n_cy"), F.col("n_cx")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("dist_km").asc(), F.col("n_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "dist_km", "rank")
+    )

@@ -1,0 +1,87 @@
+"""Ingest / duplicate-routing parity (reference archive.py:513-599,
+1202-1267; tests/test_archive.py:58-62) + span byte-identity."""
+
+from pyspark.sql import functions as F
+
+from pyrosar_spark.operators import ingest
+
+
+def test_scenes_schema_and_flags(scenes):
+    s1 = scenes.where(F.col("doc_id") == "golden_s1").first()
+    assert s1.outname_base == "S1A__IW___A_20150222T170750"
+    assert (s1.hh, s1.vv, s1.hv, s1.vh) == (0, 1, 0, 1)
+    assert s1.product == "GRD"
+    assert abs(s1.xmin - 8.017178) < 1e-9
+    assert abs(s1.ymax - 52.183979) < 1e-9
+    psr2 = scenes.where(F.col("doc_id") == "golden_psr2").first()
+    assert (psr2.hh, psr2.vv, psr2.hv, psr2.vh) == (1, 0, 1, 0)
+    assert psr2.product == "1.5"
+
+
+def test_all_docs_parse(docs, scenes):
+    assert scenes.count() == docs.count()
+
+
+def test_duplicate_routing(spark, scenes):
+    base = scenes.where(F.col("doc_id") == "golden_s1")
+    dup = base.withColumn("scene", F.lit("copy_of_s1.zip")).withColumn(
+        "doc_id", F.lit("zz_dup")
+    )
+    batch = base.unionByName(dup)
+    data, dups = ingest.insert_scenes(batch)
+    assert data.count() == 1
+    assert dups.count() == 1
+    assert data.first().scene != "copy_of_s1.zip"
+    assert dups.first().scene == "copy_of_s1.zip"
+    # re-inserting the same scenes against the existing catalog: no-ops
+    data2, dups2 = ingest.insert_scenes(batch, existing=data, existing_duplicates=dups)
+    assert ingest.archive_size(data2, dups2) == (1, 1)
+
+
+def test_is_registered_and_filter_scenelist(spark, scenes):
+    data = scenes.where(F.col("doc_id") == "golden_s1")
+    dups = data.limit(0).select("outname_base", "scene")
+    assert ingest.is_registered(data, dups, data.first().scene)
+    assert not ingest.is_registered(data, dups, "unknown.zip")
+    incoming = spark.createDataFrame(
+        [(data.first().scene,), ("new_scene.zip",)], "scene string"
+    )
+    left = ingest.filter_scenelist(data, dups, incoming)
+    assert [r.scene for r in left.collect()] == ["new_scene.zip"]
+
+
+def test_drop_element_promotes_duplicate(spark, scenes):
+    base = scenes.where(F.col("doc_id") == "golden_s1")
+    dup = base.withColumn("scene", F.lit("copy_of_s1.zip")).withColumn(
+        "doc_id", F.lit("zz_dup")
+    )
+    data, dups = ingest.insert_scenes(base.unionByName(dup))
+    victim = data.first().scene
+    remaining, new_dups, promo = ingest.drop_element(data, dups, victim)
+    assert remaining.count() == 0
+    assert new_dups.count() == 0
+    assert promo.first().scene == "copy_of_s1.zip"
+
+
+def test_span_byte_identity(docs, scenes):
+    """Every surviving doc's span sequence must be byte-identical
+    (BASELINE.json span invariant): pipeline outputs only carry doc_id,
+    spans are joined back untouched and compared to the input."""
+    surviving = scenes.select("doc_id")
+    out = docs.join(surviving, on="doc_id", how="inner")
+    cmp = out.alias("a").join(docs.alias("b"), on="doc_id").where(
+        F.to_json(F.col("a.spans")) != F.to_json(F.col("b.spans"))
+    )
+    assert cmp.count() == 0
+    # spans preserve strictly increasing offsets
+    bad = docs.where(
+        ~F.forall(
+            F.zip_with(
+                F.slice(F.col("spans"), 1, F.size("spans") - 1),
+                F.slice(F.col("spans"), 2, F.size("spans") - 1),
+                lambda a, b: a.offset < b.offset,
+            ),
+            lambda x: x,
+        )
+    )
+    assert bad.count() == 0
