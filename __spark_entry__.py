@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship scene pipeline over sf0.001 — interleaved
+documents lifted from the corpus → scene catalog → AOI/date select →
+HGT tile assignment.
+
+``queries()`` / ``oracle_sql()``: one entry per operator family from
+SURVEY.md §2, run by the driver at sf0.01 against DuckDB oracles.
+Hash-dependent expressions use the engine-portable md5→bigint hash
+(identical in Spark and DuckDB); decimal sums are computed in exact
+decimal then rounded so value-hashes match bit-for-bit. Queries with
+no ``oracle_sql`` entry (scene-engine ops whose inputs are synthesized
+interleaved docs, xxhash-based sketches) get the driver's rows-only
+check; their exact-value goldens live in tests/.
 """
 
 from __future__ import annotations
@@ -12,27 +19,737 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec(col):
+    return col.cast("decimal(18,2)")
+
+
+def _sumd(col, alias: str, scale: int = 2):
+    return F.round(F.sum(col).cast("double"), scale).alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
+
+FLAGSHIP_AOI = "POLYGON((-180 -40, -140 -40, -140 60, -180 60, -180 -40))"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: corpus → interleaved docs → scenes → select → tiles."""
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+    from pyrosar_spark.operators.select import select
+    from pyrosar_spark.operators.tiles import assign_hgt
+
+    docs = docs_from_corpus(spark, "/root/testdata/sf0.001")
+    scenes = docs_to_scenes(docs)
+    hits = select(
+        scenes,
+        mindate="20150101T000000",
+        maxdate="20151231T235959",
+        aoi_wkt=FLAGSHIP_AOI,
+        return_value=["doc_id"],
+    )
+    sel = scenes.join(hits.select("doc_id"), "doc_id", "left_semi")
+    tiles = assign_hgt(sel)
+    return tiles.select("doc_id", "outname_base", "start", "tile_id").orderBy(
+        "doc_id", "tile_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-oracled queries (driver compares vs DuckDB at sf0.01)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf):
+    li = _t(spark, sf, "lineitem").where(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _sumd(_dec(F.col("l_quantity")), "sum_qty"),
+            _sumd(_dec(F.col("l_extendedprice")), "sum_base_price"),
+            _sumd(
+                _dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))),
+                "sum_disc_price",
+            ),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_select_eq_range(spark, sf):
+    o = _t(spark, sf, "orders").where(
+        (F.col("o_orderstatus") == "O")
+        & (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") <= "1996-12-31")
+    )
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), _sumd(_dec(F.col("o_totalprice")), "total"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_select_inlist_like(spark, sf):
+    p = _t(spark, sf, "part").where(
+        F.col("p_type").isin("ECONOMY", "SMALL") & F.col("p_name").contains("red")
+    )
+    return p.groupBy("p_brand").agg(
+        F.count("*").alias("n"), _sumd(_dec(F.col("p_retailprice")), "total_price")
+    )
+
+
+def q_revenue_join(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    li = _t(spark, sf, "lineitem")
+    n = _t(spark, sf, "nation")
+    rev = _dec(F.col("l_extendedprice")) * (
+        F.lit(1).cast("decimal(18,2)") - _dec(F.col("l_discount"))
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .where((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .groupBy("n_name")
+        .agg(_sumd(rev, "revenue"), F.count("*").alias("n_items"))
+    )
+
+
+def q_anti_customers(spark, sf):
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").where(F.col("o_orderdate") >= "2001-01-01")
+    n = _t(spark, sf, "nation")
+    inactive = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        inactive.join(F.broadcast(n), inactive.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+def q_semi_suppliers(spark, sf):
+    s = _t(spark, sf, "supplier")
+    li = _t(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    n = _t(spark, sf, "nation")
+    active = s.join(li, s.s_suppkey == li.l_suppkey, "left_semi")
+    return (
+        active.join(F.broadcast(n), active.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+def q_topk_per_group(spark, sf):
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    w = W.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "n_name", "c_custkey", F.round(F.col("c_acctbal"), 2).alias("acctbal"), "rank"
+        )
+    )
+
+
+def q_dup_routing(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_custkey", "o_orderdate").orderBy("o_orderkey")
+    ranked = o.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("o_orderstatus")
+        .agg(
+            F.sum((F.col("rk") == 1).cast("int")).alias("n_data"),
+            F.sum((F.col("rk") > 1).cast("int")).alias("n_dups"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def q_session_gap(spark, sf):
+    e = _t(spark, sf, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("tsec")
+    )
+    w = W.partitionBy("user_id").orderBy("tsec")
+    flagged = e.withColumn(
+        "new_sess",
+        F.coalesce((F.col("tsec") - F.lag("tsec").over(w) > 1800).cast("int"), F.lit(1)),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+def q_asof_purchase_view(spark, sf):
+    e = _t(spark, sf, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    cand = p.join(v, (F.col("p_user") == F.col("v_user")) & (F.col("v_ts") <= F.col("p_ts")))
+    w = W.partitionBy("p_event_id").orderBy(F.col("v_ts").desc(), F.col("v_event_id").desc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("p_event_id", "v_event_id")
+    )
+
+
+def q_interval_overlap(spark, sf):
+    o = _t(spark, sf, "orders").withColumn(
+        "o_end", F.expr("o_orderdate + INTERVAL 30 DAYS")
+    )
+    hit = o.where(
+        (F.col("o_orderdate") < "1996-07-01") & (F.col("o_end") > "1996-06-01")
+    )
+    return hit.groupBy("o_orderstatus").agg(F.count("*").alias("n")).orderBy("o_orderstatus")
+
+
+def q_tile_assign(spark, sf):
+    from pyrosar_spark.operators.tiles import assign_hgt
+
+    c = _t(spark, sf, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7) % 360 - 180 + 0.5).cast("double").alias("lon"),
+        ((F.col("c_custkey") * 13) % 170 - 85 + 0.25).cast("double").alias("lat"),
+    )
+    boxed = c.select(
+        "c_custkey",
+        (F.col("lon") - 1.3).alias("xmin"),
+        (F.col("lon") + 1.3).alias("xmax"),
+        (F.col("lat") - 0.9).alias("ymin"),
+        (F.col("lat") + 0.9).alias("ymax"),
+    )
+    return assign_hgt(boxed).groupBy("tile_id").agg(F.count("*").alias("n_scenes"))
+
+
+def q_intrange_bounds(spark, sf):
+    n = _t(spark, sf, "nation").select(
+        "n_nationkey",
+        (F.col("n_nationkey") * 3 - 60).cast("double").alias("xmin"),
+    )
+    return n.select(
+        "n_nationkey",
+        (F.floor(F.col("xmin") / 5) * 5).cast("int").alias("lat_first"),
+        (F.ceil((F.col("xmin") + 7.2) / 5) * 5 - 5).cast("int").alias("lat_last"),
+    ).orderBy("n_nationkey")
+
+
+def q_exact_dedup_docs(spark, sf):
+    from pyrosar_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf, "documents")
+    groups = exact_dedup(d, "text", "doc_id")
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("n_members").alias("n_docs"),
+        F.sum((F.col("n_members") > 1).cast("int")).alias("n_dup_groups"),
+    )
+
+
+def q_near_dup_pairs(spark, sf):
+    from pyrosar_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", n_hashes=8, n_bands=4, shingle_k=2, hash_mode="md5"
+    )
+    return jaccard_pairs(d, pairs, "text", "doc_id", shingle_k=2, threshold=0.2)
+
+
+def q_token_stats(spark, sf):
+    from pyrosar_spark.operators.textstats import token_count_ws
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_ws(F.col("text"))).alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_quality_by_source(spark, sf):
+    from pyrosar_spark.operators.textstats import quality_score
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum(quality_score(F.col("text"))), 3).alias("quality_sum"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_lang_id_eval(spark, sf):
+    from pyrosar_spark.operators.textstats import lang_id
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def q_fingerprints(spark, sf):
+    from pyrosar_spark.operators.textstats import fingerprint64
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", fingerprint64(F.col("text"), 8, hash_mode="md5").alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_cosine_topk(spark, sf):
+    from pyrosar_spark.operators.similarity import cosine_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    return cosine_topk(e, q, k=5)
+
+
+def q_embedding_stats(spark, sf):
+    e = _t(spark, sf, "embeddings")
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.element_at("embedding", 1).cast("double")), 4).alias("sum_d1"),
+            F.round(F.sum(F.element_at("embedding", 2).cast("double")), 4).alias("sum_d2"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_media_decode(spark, sf):
+    from pyrosar_spark.operators.media import decode_metadata
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("ref://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    meta = decode_metadata(d)
+    return meta.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_bytes", "width", "height", "channels",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# scene-engine queries over synthesized interleaved docs (rows-only checks;
+# exact goldens live in tests/)
+# ---------------------------------------------------------------------------
+
+
+def q_scene_select_tiles(spark, sf):
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+    from pyrosar_spark.operators.select import select
+    from pyrosar_spark.operators.tiles import assign_hgt
+
+    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
+    hits = select(scenes, aoi_wkt=FLAGSHIP_AOI, return_value=["doc_id"])
+    sel = scenes.join(hits, "doc_id", "left_semi")
+    return assign_hgt(sel).groupBy("tile_id").agg(F.count("*").alias("n_scenes"))
+
+
+def q_scene_spatial_join(spark, sf):
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+    from pyrosar_spark.operators.spatial import aoi_frame, spatial_join
+
+    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
+    aois = aoi_frame(
+        spark,
+        [
+            ("west", FLAGSHIP_AOI),
+            ("europe", "POLYGON((0 35, 30 35, 30 60, 0 60, 0 35))"),
+            ("nowhere", "POLYGON((200 80, 201 80, 201 81, 200 81, 200 80))"),
+        ],
+    )
+    return spatial_join(scenes, aois).orderBy("aoi_id", "doc_id")
+
+
+def q_scene_knn(spark, sf):
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+    from pyrosar_spark.operators.spatial import knn_scenes
+
+    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
+    return knn_scenes(scenes, k=3).orderBy("q_id", "rank")
+
+
+def q_scene_osv_asof(spark, sf):
+    from pyrosar_spark.datagen import docs_from_corpus, generate_osv
+    from pyrosar_spark.operators.asof import osv_match
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+
+    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
+    osv = generate_osv(spark, 2000, seed=42)
+    return osv_match(scenes, osv, ["POE", "RES"]).orderBy("doc_id")
+
+
+def q_scene_sessions(spark, sf):
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.functions.temporal import seconds_col
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+    from pyrosar_spark.operators.session_group import groupby_time_collect
+
+    scenes = docs_to_scenes(docs_from_corpus(spark, sf)).withColumn(
+        "tsec", seconds_col("start")
+    )
+    return (
+        groupby_time_collect(
+            scenes, "outname_base", "tsec", 3600.0, key_cols=["orbitNumber_rel"]
+        )
+        .select("orbitNumber_rel", "session_id", "n")
+        .orderBy("orbitNumber_rel", "session_id")
+    )
+
+
+def q_simhash_pairs(spark, sf):
+    from pyrosar_spark.operators.dedup import simhash_pairs
+
+    d = _t(spark, sf, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=16).orderBy("a", "b")
+
+
+def q_ann_lsh(spark, sf):
+    from pyrosar_spark.operators.similarity import lsh_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    return lsh_topk(e, q, k=5, n_bits=6, n_tables=3, dim=64)
+
+
+def q_ann_ivf(spark, sf):
+    from pyrosar_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    return ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pricing_summary": q_pricing_summary,
+        "select_eq_range": q_select_eq_range,
+        "select_inlist_like": q_select_inlist_like,
+        "revenue_join": q_revenue_join,
+        "anti_customers": q_anti_customers,
+        "semi_suppliers": q_semi_suppliers,
+        "topk_per_group": q_topk_per_group,
+        "dup_routing": q_dup_routing,
+        "session_gap": q_session_gap,
+        "asof_purchase_view": q_asof_purchase_view,
+        "interval_overlap": q_interval_overlap,
+        "tile_assign": q_tile_assign,
+        "intrange_bounds": q_intrange_bounds,
+        "exact_dedup_docs": q_exact_dedup_docs,
+        "near_dup_pairs": q_near_dup_pairs,
+        "token_stats": q_token_stats,
+        "quality_by_source": q_quality_by_source,
+        "lang_id_eval": q_lang_id_eval,
+        "fingerprints": q_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "embedding_stats": q_embedding_stats,
+        "media_decode": q_media_decode,
+        "scene_select_tiles": q_scene_select_tiles,
+        "scene_spatial_join": q_scene_spatial_join,
+        "scene_knn": q_scene_knn,
+        "scene_osv_asof": q_scene_osv_asof,
+        "scene_sessions": q_scene_sessions,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+# portable md5 → 60-bit bigint (same value as Spark's
+# conv(substring(md5(x),1,15),16,10)); {X} is the input expression
+_MD5NUM = "(('0x' || substr(md5({X}), 1, 15))::BIGINT)"
+
+
+def _md5num(x: str) -> str:
+    return _MD5NUM.format(X=x)
+
+
+# shared doc tokenization for the dedup/text oracles
+_TOKS = (
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+_SHINGLES = (
+    "list_distinct(CASE WHEN len(tk) >= 2 THEN "
+    "[array_to_string(tk[i:i+1], ' ') FOR i IN generate_series(1, len(tk)-1)] "
+    "ELSE [] END)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    qual = """
+      least(cast(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) as double) / 50.0, 1.0) * 0.4
+      + round(cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double) / greatest(length(text), 1), 6) * 0.3
+      + round(cast(len(list_filter(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> ''), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) as double)
+              / greatest(len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')), 1), 6) * 0.3
+      - least(round(cast(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) as double) / greatest(length(text), 1), 6) * 4, 1.0) * 0.2
     """
-    return {}
+    sw = {
+        "en": "['the','a','of','and','to','in','is','it','that','for']",
+        "de": "['der','die','das','und','ist','ein','nicht','mit','auf','zu']",
+        "fr": "['le','la','les','et','est','un','une','pas','pour','dans']",
+        "es": "['el','la','los','y','es','un','una','no','por','para']",
+    }
+    ratios = ",\n".join(
+        f"round(cast(len(list_filter(tk_l, t -> list_contains({lst}, t))) as double)"
+        f" / greatest(len(tk_l), 1), 6) AS r_{lang}"
+        for lang, lst in sw.items()
+    )
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS sum_qty,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2))) as double), 2) AS sum_base_price,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+        """,
+        "select_eq_range": """
+            SELECT o_orderpriority, count(*) AS n,
+                   round(cast(sum(cast(o_totalprice as decimal(18,2))) as double), 2) AS total
+            FROM orders
+            WHERE o_orderstatus = 'O'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+            GROUP BY o_orderpriority ORDER BY 1
+        """,
+        "select_inlist_like": """
+            SELECT p_brand, count(*) AS n,
+                   round(cast(sum(cast(p_retailprice as decimal(18,2))) as double), 2) AS total_price
+            FROM part
+            WHERE p_type IN ('ECONOMY', 'SMALL') AND p_name LIKE '%red%'
+            GROUP BY p_brand
+        """,
+        "revenue_join": """
+            SELECT n_name,
+                   round(cast(sum(cast(l_extendedprice as decimal(18,2)) * (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name
+        """,
+        "anti_customers": """
+            SELECT n_name, count(*) AS n_inactive
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+            GROUP BY n_name
+        """,
+        "semi_suppliers": """
+            SELECT n_name, count(*) AS n_active
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_suppkey = s_suppkey
+                  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')
+            GROUP BY n_name
+        """,
+        "topk_per_group": """
+            SELECT n_name, c_custkey, round(c_acctbal, 2) AS acctbal, rank FROM (
+                SELECT n_name, c_custkey, c_acctbal,
+                       row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rank
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ) WHERE rank <= 3
+        """,
+        "dup_routing": """
+            SELECT o_orderstatus,
+                   cast(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) as bigint) AS n_data,
+                   cast(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) as bigint) AS n_dups
+            FROM (
+                SELECT o_orderstatus,
+                       row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey) AS rk
+                FROM orders
+            ) GROUP BY o_orderstatus ORDER BY 1
+        """,
+        "session_gap": """
+            SELECT user_id, cast(sum(new_sess) as bigint) AS n_sessions, count(*) AS n_events FROM (
+                SELECT user_id,
+                       coalesce((tsec - lag(tsec) OVER (PARTITION BY user_id ORDER BY tsec) > 1800)::INT, 1) AS new_sess
+                FROM (SELECT user_id, cast(floor(epoch(ts)) as bigint) AS tsec FROM events)
+            ) GROUP BY user_id ORDER BY user_id
+        """,
+        "asof_purchase_view": """
+            SELECT p_event_id, v_event_id FROM (
+                SELECT p.event_id AS p_event_id, v.event_id AS v_event_id,
+                       row_number() OVER (PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC) AS rk
+                FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                JOIN (SELECT * FROM events WHERE event_type = 'view') v
+                  ON p.user_id = v.user_id AND v.ts <= p.ts
+            ) WHERE rk = 1
+        """,
+        "interval_overlap": """
+            SELECT o_orderstatus, count(*) AS n
+            FROM orders
+            WHERE o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              AND o_orderdate + INTERVAL 30 DAY > TIMESTAMP '1996-06-01 00:00:00'
+            GROUP BY o_orderstatus ORDER BY 1
+        """,
+        "tile_assign": """
+            WITH pts AS (
+                SELECT c_custkey,
+                       cast((c_custkey * 7) % 360 - 180 + 0.5 as double) AS lon,
+                       cast((c_custkey * 13) % 170 - 85 + 0.25 as double) AS lat
+                FROM customer
+            ), lattice AS (
+                SELECT c_custkey, la, lo
+                FROM pts,
+                     unnest(generate_series(cast(floor(lat - 0.9) as bigint), cast(floor(lat + 0.9) as bigint))) AS t1(la),
+                     unnest(generate_series(cast(floor(lon - 1.3) as bigint), cast(floor(lon + 1.3) as bigint))) AS t2(lo)
+            )
+            SELECT concat(CASE WHEN la < 0 THEN 'S' ELSE 'N' END, lpad(cast(abs(la) as varchar), 2, '0'),
+                          CASE WHEN lo < 0 THEN 'W' ELSE 'E' END, lpad(cast(abs(lo) as varchar), 3, '0'),
+                          '.hgt') AS tile_id,
+                   count(*) AS n_scenes
+            FROM lattice GROUP BY 1
+        """,
+        "intrange_bounds": """
+            SELECT n_nationkey,
+                   cast(floor(cast(n_nationkey * 3 - 60 as double) / 5) * 5 as int) AS lat_first,
+                   cast(ceil((cast(n_nationkey * 3 - 60 as double) + 7.2) / 5) * 5 - 5 as int) AS lat_last
+            FROM nation ORDER BY n_nationkey
+        """,
+        "exact_dedup_docs": """
+            SELECT count(*) AS n_groups, cast(sum(n_members) as bigint) AS n_docs,
+                   cast(sum(CASE WHEN n_members > 1 THEN 1 ELSE 0 END) as bigint) AS n_dup_groups
+            FROM (
+                SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_members
+                FROM documents GROUP BY 1
+            )
+        """,
+        "near_dup_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), sh AS (
+                SELECT doc_id, {_SHINGLES} AS sh FROM toks
+            ), sigs AS (
+                SELECT doc_id, sh,
+                       [list_min([{_md5num("g || '#' || s")} FOR g IN sh]) FOR s IN generate_series(0, 7)] AS sig
+                FROM sh WHERE len(sh) > 0
+            ), bands AS (
+                SELECT doc_id, b AS band,
+                       cast(sig[2*b+1] as varchar) || '_' || cast(sig[2*b+2] as varchar) AS key
+                FROM sigs, unnest(generate_series(0, 3)) AS t(b)
+            ), pairs AS (
+                SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+            )
+            SELECT a, b,
+                   round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
+                         / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+            FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
+            WHERE round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
+                        / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.2
+        """,
+        "token_stats": """
+            SELECT lang, count(*) AS n_docs,
+                   cast(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''))) as bigint) AS total_tokens,
+                   cast(sum(n_chars) as bigint) AS total_chars
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "quality_by_source": f"""
+            SELECT source, count(*) AS n_docs,
+                   round(sum(round(greatest(least(({qual}), 1.0), 0.0), 6)), 3) AS quality_sum
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "lang_id_eval": f"""
+            WITH scored AS (
+                SELECT lang, {ratios}
+                FROM (SELECT lang, list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '') AS tk_l FROM documents)
+            )
+            SELECT lang,
+                   CASE WHEN greatest(r_en, r_de, r_fr, r_es) = 0 THEN 'und'
+                        WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es THEN 'en'
+                        WHEN r_de >= r_fr AND r_de >= r_es THEN 'de'
+                        WHEN r_fr >= r_es THEN 'fr'
+                        ELSE 'es' END AS lang_guess,
+                   count(*) AS n
+            FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "fingerprints": f"""
+            SELECT doc_id,
+                   list_min([{_md5num("substr(text, i, 8) || '#0'")}
+                             FOR i IN generate_series(1, greatest(length(text) - 7, 1))]) AS fingerprint
+            FROM documents ORDER BY doc_id
+        """,
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 3),
+            scored AS (
+                SELECT q.q_id, e.vec_id AS item_id,
+                       round(
+                         list_reduce([e.embedding[i]::DOUBLE * q.q_vec[i]::DOUBLE FOR i IN generate_series(1, 64)], (x, y) -> x + y)
+                         / (sqrt(list_reduce([e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN generate_series(1, 64)], (x, y) -> x + y))
+                          * sqrt(list_reduce([q.q_vec[i]::DOUBLE * q.q_vec[i]::DOUBLE FOR i IN generate_series(1, 64)], (x, y) -> x + y))), 6) AS cosine_sim
+                FROM embeddings e, q WHERE e.vec_id <> q.q_id
+            )
+            SELECT q_id, item_id, cosine_sim, rank FROM (
+                SELECT q_id, item_id, cosine_sim,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, item_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "embedding_stats": """
+            SELECT label, count(*) AS n,
+                   round(sum(embedding[1]::DOUBLE), 4) AS sum_d1,
+                   round(sum(embedding[2]::DOUBLE), 4) AS sum_d2
+            FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "media_decode": f"""
+            SELECT doc_id,
+                   cast(octet_length(encode(text)) as int) AS n_bytes,
+                   cast(1 + h % 512 as int) AS width,
+                   cast(1 + (h % 262144) // 512 as int) AS height,
+                   cast(1 + h % 3 as int) AS channels
+            FROM (SELECT doc_id, text, {_md5num("text")} AS h FROM documents)
+            ORDER BY doc_id
+        """,
+    }

@@ -114,9 +114,19 @@ def generate_documents(
     seed: int = 42,
     include_golden: bool = True,
     n_partitions: int | None = None,
+    text_source: DataFrame | None = None,
 ) -> DataFrame:
-    """Interleaved-documents table, deterministic in (n_docs, seed)."""
-    base = spark.range(n_docs, numPartitions=n_partitions)
+    """Interleaved-documents table, deterministic in (n_docs, seed).
+
+    ``text_source`` (optional): a DataFrame with columns ``(id, text)``
+    to use as the document base and the filler-text span instead of the
+    synthetic one — used to lift a plain text corpus (e.g. the driver's
+    ``documents.parquet``) into the interleaved-span shape.
+    """
+    if text_source is not None:
+        base = text_source
+    else:
+        base = spark.range(n_docs, numPartitions=n_partitions)
 
     u_track = _u(seed, "track")
     track = (F.floor(F.pow(u_track, 3.0) * N_TRACKS) + 1).cast("int")
@@ -189,9 +199,12 @@ def generate_documents(
 
     doc_id = F.format_string("doc_%012d", F.col("id"))
     n_chips = (F.pmod(F.xxhash64(F.col("id"), F.lit("nchips")), F.lit(3)) + 1).cast("int")
-    filler = F.concat(
-        F.lit("acquisition report "), scene_name, F.lit(" track="), track.cast("string")
-    )
+    if text_source is not None:
+        filler = F.col("text")
+    else:
+        filler = F.concat(
+            F.lit("acquisition report "), scene_name, F.lit(" track="), track.cast("string")
+        )
     span_meta = F.struct(
         F.lit("scene_meta").alias("kind"),
         F.concat(scene_name, F.lit("|"), meta_json).alias("text"),
@@ -222,6 +235,19 @@ def generate_documents(
     if include_golden:
         docs = docs.unionByName(golden_documents(spark))
     return docs
+
+
+def docs_from_corpus(spark: SparkSession, sf_dir: str, seed: int = 42) -> DataFrame:
+    """Lift the driver's plain ``documents.parquet`` corpus into the
+    interleaved-span input shape: one scene_meta span (synthesized
+    deterministically from the doc id), the corpus text as the text
+    span, plus chip spans."""
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("id"), "text"
+    )
+    return generate_documents(
+        spark, -1, seed=seed, include_golden=False, text_source=corpus
+    )
 
 
 def golden_documents(spark: SparkSession) -> DataFrame:

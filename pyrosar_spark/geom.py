@@ -246,5 +246,78 @@ class FlatRings:
 
 def wkb_batch_intersects(wkbs, aoi_ring: np.ndarray) -> np.ndarray:
     """Exact intersects of a batch of WKB polygons vs one AOI ring."""
-    rings = [wkb_to_ring(b) for b in wkbs]
-    return FlatRings(rings).intersects(aoi_ring)
+    return FlatRings(rings_from_wkb_batch(wkbs)).intersects(aoi_ring)
+
+
+# --------------------------------------------------------------------------
+# vectorized batch kernels (the Arrow-UDF hot path)
+# --------------------------------------------------------------------------
+
+
+def rings_from_wkb_batch(wkbs) -> list[np.ndarray]:
+    """Parse many WKB polygons; bulk path when all buffers share one
+    fixed size (the engine's own canonical 5-point rings)."""
+    bufs = [bytes(b) for b in wkbs]
+    if bufs and len({len(b) for b in bufs}) == 1 and bufs[0][:1] == b"\x01":
+        (npts,) = _struct.unpack_from("<I", bufs[0], 9)
+        if len(bufs[0]) == 13 + npts * 16:
+            raw = np.frombuffer(b"".join(bufs), dtype=np.uint8).reshape(len(bufs), -1)
+            flat = raw[:, 13:].copy().view("<f8").reshape(len(bufs), npts, 2)
+            return list(flat)
+    return [wkb_to_ring(b) for b in bufs]
+
+
+def wkb_from_rings_batch(rings: np.ndarray) -> list[bytes]:
+    """Encode a (N, P, 2) ring array into N WKB buffers in one pass."""
+    n, p, _ = rings.shape
+    head = _struct.pack("<BIII", 1, _WKB_POLYGON, 1, p)
+    body = np.ascontiguousarray(rings.astype("<f8")).reshape(n, -1).view(np.uint8)
+    return [head + body[i].tobytes() for i in range(n)]
+
+
+def hull_rings_batch(coords: list) -> list[np.ndarray]:
+    """Convex-hull rings for a batch of coordinate lists.
+
+    Fast path: rows with exactly 4 distinct points forming a convex
+    quad (the universal SAR-footprint case) are hulled fully
+    vectorized — angular sort around the centroid, convexity check,
+    canonical min-y rotation. Everything else falls back to the exact
+    per-row monotone chain.
+    """
+    n = len(coords)
+    out: list[np.ndarray | None] = [None] * n
+    quad_idx = [i for i, c in enumerate(coords) if c is not None and len(c) == 4]
+    if quad_idx:
+        # Arrow hands nested arrays over as object ndarrays — one vstack
+        # of all inner points, then reshape to (M, 4, 2)
+        pts = np.vstack([p for i in quad_idx for p in coords[i]]).astype(
+            np.float64
+        ).reshape(-1, 4, 2)
+        cx = pts[..., 0].mean(axis=1, keepdims=True)
+        cy = pts[..., 1].mean(axis=1, keepdims=True)
+        theta = np.arctan2(pts[..., 1] - cy, pts[..., 0] - cx)
+        order = np.argsort(theta, axis=1)
+        rows = np.arange(len(pts))[:, None]
+        poly = pts[rows, order]  # CCW candidate
+        nxt = np.roll(poly, -1, axis=1)
+        nxt2 = np.roll(poly, -2, axis=1)
+        cross = (nxt[..., 0] - poly[..., 0]) * (nxt2[..., 1] - poly[..., 1]) - (
+            nxt[..., 1] - poly[..., 1]
+        ) * (nxt2[..., 0] - poly[..., 0])
+        convex = (cross > 0).all(axis=1)  # strictly convex quad, CCW
+        if convex.any():
+            good = poly[convex]
+            # rotate so ring starts at (min y, then min x)
+            key = good[..., 1] * 1e9 + good[..., 0]  # lat-major ordering proxy
+            start = np.argmin(key, axis=1)
+            g_rows = np.arange(len(good))[:, None]
+            shift_idx = (np.arange(4)[None, :] + start[:, None]) % 4
+            rolled = good[g_rows, shift_idx]
+            rings = np.concatenate([rolled, rolled[:, :1]], axis=1)  # (K,5,2)
+            for k, i in enumerate(np.asarray(quad_idx)[convex]):
+                out[i] = rings[k]
+    for i in range(n):
+        if out[i] is None:
+            c = coords[i]
+            out[i] = None if c is None or len(c) == 0 else convex_hull_ring(c)
+    return out

@@ -21,6 +21,7 @@ Arrow-batched.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -47,14 +48,20 @@ def footprint_wkb(coords: pd.Series) -> pd.Series:
     """Convex hull of the corner list → canonical CCW closed-ring WKB.
 
     Arrow-batched; mirrors ``drivers.py:316-331`` (hull, CCW exterior).
+    The 4-corner case (every real SAR footprint) is fully vectorized
+    (see :func:`pyrosar_spark.geom.hull_rings_batch`).
     """
-    out = []
-    for pts in coords:
-        if pts is None or len(pts) == 0:
-            out.append(None)
-            continue
-        ring = geom.convex_hull_ring([[p[0], p[1]] for p in pts])
-        out.append(geom.ring_to_wkb(ring))
+    rings = geom.hull_rings_batch(list(coords))
+    out: list[bytes | None] = [None] * len(rings)
+    # bulk-encode the dominant 5-point rings, per-row encode the rest
+    five = [i for i, r in enumerate(rings) if r is not None and len(r) == 5]
+    if five:
+        stacked = np.stack([rings[i] for i in five])
+        for i, b in zip(five, geom.wkb_from_rings_batch(stacked)):
+            out[i] = b
+    for i, r in enumerate(rings):
+        if out[i] is None and r is not None:
+            out[i] = geom.ring_to_wkb(r)
     return pd.Series(out)
 
 

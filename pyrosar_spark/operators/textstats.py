@@ -1,0 +1,131 @@
+"""Text analysis for training-data pipelines — all JVM-side.
+
+Language-ID (stopword-ratio heuristic), quality scoring
+(length / punctuation / stopword ratios), token counting (whitespace
+and BPE-ish regex), and rolling-hash document fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no", "por", "para"],
+}
+
+
+def tokens_ws(text: Column) -> Column:
+    """Whitespace tokens (empty-safe)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count_ws(text: Column) -> Column:
+    return F.size(tokens_ws(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish sub-word proxy: count word chunks + standalone
+    punctuation, the usual ~chars/4 heuristic's exact cousin."""
+    pieces = F.filter(
+        F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), lambda t: t.rlike(r"\S")
+    )
+    return F.size(pieces)
+
+
+def char_stats(text: Column) -> dict[str, Column]:
+    n = F.length(text)
+    letters = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    spaces = F.length(F.regexp_replace(text, r"\S", ""))
+    return {
+        "n_chars": n,
+        "letter_ratio": F.round(letters / F.greatest(n, F.lit(1)), 6),
+        "digit_ratio": F.round(digits / F.greatest(n, F.lit(1)), 6),
+        "punct_ratio": F.round(punct / F.greatest(n, F.lit(1)), 6),
+        "space_ratio": F.round(spaces / F.greatest(n, F.lit(1)), 6),
+    }
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = F.filter(F.split(F.lower(text), r"[^a-z]+"), lambda t: t != "")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.round(hits / F.greatest(F.size(toks), F.lit(1)), 6)
+
+
+def lang_id(text: Column) -> Column:
+    """argmax over per-language stopword ratios; 'und' when all zero.
+    Deterministic tie-break: language order as in STOPWORDS."""
+    scored = F.array(
+        *[
+            F.struct((-stopword_ratio(text, lang)).alias("neg"), F.lit(i).alias("ord"),
+                     F.lit(lang).alias("lang"))
+            for i, lang in enumerate(STOPWORDS)
+        ]
+    )
+    best = F.element_at(F.array_sort(scored), 1)
+    return F.when(-best.neg > 0, best.lang).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality: length band + letter ratio + stopword
+    presence − punctuation excess. Simple, monotone, fully columnar."""
+    cs = char_stats(text)
+    n_tok = token_count_ws(text)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_penalty = F.least(cs["punct_ratio"] * 4, F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * cs["letter_ratio"]
+        + F.lit(0.3) * stopword_ratio(text)
+        - F.lit(0.2) * punct_penalty
+    )
+    return F.round(F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+def fingerprint64(text: Column, window: int = 8, hash_mode: str = "xxhash64") -> Column:
+    """Rolling-hash document fingerprint: min of the window-gram hashes
+    (a 1-hash winnowing sketch) — stable under small appends.
+
+    ``hash_mode='md5'`` uses the engine-portable hash from
+    :func:`pyrosar_spark.operators.dedup.portable_hash64` so DuckDB
+    oracles can reproduce the value bit-for-bit.
+    """
+    from pyrosar_spark.operators.dedup import portable_hash64
+
+    def h(gram: Column) -> Column:
+        if hash_mode == "xxhash64":
+            return F.xxhash64(gram)
+        return portable_hash64(gram, 0, "md5")
+
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length(text) - (window - 1), F.lit(1))
+        ),
+        lambda i: h(F.substring(text, i, window)),
+    )
+    return F.array_min(grams)
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """All per-doc stats in one projection (single pass)."""
+    t = F.col(text_col)
+    cs = char_stats(t)
+    return df.withColumns(
+        {
+            "tokens_ws": token_count_ws(t),
+            "tokens_bpe": token_count_bpe(t),
+            "letter_ratio": cs["letter_ratio"],
+            "digit_ratio": cs["digit_ratio"],
+            "punct_ratio": cs["punct_ratio"],
+            "stopword_ratio_en": stopword_ratio(t, "en"),
+            "lang_guess": lang_id(t),
+            "quality": quality_score(t),
+            "fingerprint": fingerprint64(t),
+        }
+    )

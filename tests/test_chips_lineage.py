@@ -1,0 +1,99 @@
+"""Chip→tile alignment mosaic + lineage/checkpoint machinery."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from pyrosar_spark.operators.chips import (
+    assign_chip_tiles,
+    dummy_tile,
+    mosaic_tiles,
+    synthetic_chips,
+)
+from pyrosar_spark.plans.lineage import CheckpointedPipeline, with_lineage
+
+
+def test_chip_tile_split(spark):
+    # a chip straddling the lon=10 tile boundary must land in 2 tiles
+    # (8x8 px at 0.05 deg/px → 0.4 deg extent: lon 9.9-10.3, lat 50.1-50.5)
+    chips = spark.createDataFrame(
+        [("m1", 9.9, 50.5, 0.05, 0.05, 8, 8, -32768.0, "area", 7)],
+        "media_ref string, ulx double, uly double, xres double, yres double, "
+        "width int, height int, nodata double, area_or_point string, seed int",
+    )
+    out = assign_chip_tiles(chips)
+    tiles = sorted(r.tile_id for r in out.collect())
+    assert tiles == ["N50E009.hgt", "N50E010.hgt"]
+
+
+def test_mosaic_paste_and_point_shift(spark):
+    chips = spark.createDataFrame(
+        [
+            ("m1", 9.9, 50.5, 0.05, 0.05, 32, 32, -32768.0, "area", 7),
+            ("m2", 9.2, 50.9, 0.05, 0.05, 32, 32, -32768.0, "point", 9),
+        ],
+        "media_ref string, ulx double, uly double, xres double, yres double, "
+        "width int, height int, nodata double, area_or_point string, seed int",
+    )
+    tiles = mosaic_tiles(assign_chip_tiles(chips), px_per_degree=40)
+    rows = {r.tile_id: r for r in tiles.collect()}
+    t = rows["N50E009.hgt"]
+    assert t.n_chips == 2
+    canvas = np.frombuffer(bytes(t.data), dtype=np.int16).reshape(40, 40)
+    assert (canvas != -32768).sum() == t.n_valid_px > 0
+    # determinism
+    again = {r.tile_id: r for r in mosaic_tiles(assign_chip_tiles(chips), 40).collect()}
+    assert bytes(again["N50E009.hgt"].data) == bytes(t.data)
+
+
+def test_synthetic_chips_from_docs(docs):
+    chips = synthetic_chips(docs)
+    assert chips.count() > 0
+    assert chips.where(F.col("area_or_point") == "point").count() > 0
+    tiles = mosaic_tiles(assign_chip_tiles(chips.limit(50)), px_per_degree=10)
+    assert tiles.count() > 0
+
+
+def test_dummy_tile(spark):
+    d = dummy_tile(spark, {"xmin": 1.2, "ymin": -3.7, "xmax": 2, "ymax": -3})
+    row = d.first()
+    assert row.tile_id == "DUMMY" and row.n_chips == 0
+
+
+def test_lineage_column(spark):
+    df = spark.createDataFrame([(1,)], "x int")
+    out = with_lineage(with_lineage(df, "Orb"), "Cal")
+    assert out.first()._lineage == "Orb_Cal"
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    pipe = CheckpointedPipeline(spark, str(tmp_path / "run"))
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(10).withColumnRenamed("id", "doc_id")
+
+    a = pipe.run_stage("stage1", compute, key_col="doc_id")
+    assert a.count() == 10 and calls["n"] == 1
+    # resume: compute not called again
+    b = pipe.run_stage("stage1", compute, key_col="doc_id")
+    assert b.count() == 10 and calls["n"] == 1
+    m = pipe.metrics()
+    assert m.where(F.col("stage") == "stage1").agg(F.sum("n_rows")).first()[0] == 10
+    assert {"partition_id", "n_rows", "key_min", "key_max", "stage", "wall_sec"} <= set(
+        m.columns
+    )
+
+
+def test_streaming_ingest(spark, docs, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    docs.limit(50).write.parquet(src)
+    from pyrosar_spark.streaming.incremental import read_document_stream, streaming_ingest
+
+    q = streaming_ingest(read_document_stream(spark, src), out, ckpt)
+    q.awaitTermination(120)
+    scenes = spark.read.parquet(out)
+    assert scenes.count() > 0
+    assert scenes.groupBy("product", "outname_base").count().where("count > 1").count() == 0
