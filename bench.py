@@ -35,7 +35,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = _sf_from_dir(sf_dir)
-    n_docs = max(int(sf * 2_000_000), 10_000)
+    n_docs = int(
+        os.environ.get("SPARK_GRAFT_NDOCS", max(int(sf * 2_000_000), 10_000))
+    )
 
     from pyrosar_spark.session import get_spark
 
@@ -103,6 +105,12 @@ def main() -> None:
         "scene_spatial_join",
         "scene_knn",
     ]
+    # SPARK_GRAFT_QUERIES: comma list to restrict ("none" = flagship only,
+    # used by scripts/bench_scaling.py to cut measurement noise)
+    q_filter = os.environ.get("SPARK_GRAFT_QUERIES")
+    if q_filter is not None:
+        wanted = {q.strip() for q in q_filter.split(",") if q.strip()}
+        headline = [h for h in headline if h in wanted]
     for name in headline:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -250,6 +250,26 @@ def wkb_batch_intersects(wkbs, aoi_ring: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# flat-ring helpers (engine-internal geometry representation:
+# array<double> [lon0, lat0, lon1, lat1, ...], closed CCW canonical ring)
+# --------------------------------------------------------------------------
+
+
+def flat_to_ring(flat) -> np.ndarray:
+    return np.asarray(flat, dtype=np.float64).reshape(-1, 2)
+
+
+def rings_from_flat_batch(flats) -> list[np.ndarray]:
+    """Series/list of flat rings → list of (P,2) arrays, one concatenate."""
+    items = [np.asarray(f, dtype=np.float64) for f in flats]
+    return [a.reshape(-1, 2) for a in items]
+
+
+def flat_batch_intersects(flats, aoi_ring: np.ndarray) -> np.ndarray:
+    return FlatRings(rings_from_flat_batch(flats)).intersects(aoi_ring)
+
+
+# --------------------------------------------------------------------------
 # vectorized batch kernels (the Arrow-UDF hot path)
 # --------------------------------------------------------------------------
 
@@ -319,5 +339,9 @@ def hull_rings_batch(coords: list) -> list[np.ndarray]:
     for i in range(n):
         if out[i] is None:
             c = coords[i]
-            out[i] = None if c is None or len(c) == 0 else convex_hull_ring(c)
+            if c is None or len(c) == 0:
+                out[i] = None
+            else:
+                # Arrow nested lists arrive as object arrays of arrays
+                out[i] = convex_hull_ring(np.vstack([np.asarray(p) for p in c]))
     return out

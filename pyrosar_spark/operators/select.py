@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pyrosar_spark import geom
-from pyrosar_spark.operators.ingest import wkb_to_wkt_udf
+from pyrosar_spark.operators.ingest import ring_to_wkb_udf, ring_to_wkt_udf
 
 log = logging.getLogger(__name__)
 
@@ -42,17 +42,15 @@ _STAMP_RE = re.compile("[0-9]{8}T[0-9]{6}")
 
 
 def _aoi_intersects_udf(aoi_ring: np.ndarray):
-    """Exact st_intersects(scene_footprint, AOI) over WKB batches."""
+    """Exact st_intersects(scene_footprint, AOI) over flat-ring batches."""
     ring = np.asarray(aoi_ring, dtype=np.float64)
 
     @F.pandas_udf(T.BooleanType())
-    def intersects(wkb: pd.Series) -> pd.Series:
-        mask = wkb.notna()
-        out = np.zeros(len(wkb), dtype=bool)
+    def intersects(flat: pd.Series) -> pd.Series:
+        mask = flat.notna()
+        out = np.zeros(len(flat), dtype=bool)
         if mask.any():
-            out[mask.to_numpy()] = geom.wkb_batch_intersects(
-                [bytes(b) for b in wkb[mask]], ring
-            )
+            out[mask.to_numpy()] = geom.flat_batch_intersects(list(flat[mask]), ring)
         return pd.Series(out)
 
     return intersects
@@ -154,7 +152,7 @@ def select(
             & (F.col("ymin") <= float(aymax))
             & (F.col("ymax") >= float(aymin))
         )
-        df = df.where(_aoi_intersects_udf(ring)(F.col("geometry")))
+        df = df.where(_aoi_intersects_udf(ring)(F.col("ring")))
 
     # P11 processdir anti-filter: outname_base contained in a processed
     # file name → drop. Anti-join, never per-row filesystem scans.
@@ -178,9 +176,9 @@ def select(
         if v in VIRTUAL_RETURNS:
             proj.append(F.col(VIRTUAL_RETURNS[v]).alias(v))
         elif v == "geometry_wkt":
-            proj.append(wkb_to_wkt_udf(F.col("geometry")).alias("geometry_wkt"))
+            proj.append(ring_to_wkt_udf(F.col("ring")).alias("geometry_wkt"))
         elif v == "geometry_wkb":
-            proj.append(F.col("geometry").alias("geometry_wkb"))
+            proj.append(ring_to_wkb_udf(F.col("ring")).alias("geometry_wkb"))
         else:
             proj.append(F.col(v))
     return df.select(*proj)

@@ -69,24 +69,25 @@ def cover_cells(
 
 
 @F.pandas_udf(T.BooleanType())
-def _pairs_intersect(left_wkb: pd.Series, right_wkb: pd.Series) -> pd.Series:
-    """Exact intersects for aligned WKB pairs (Arrow batch).
+def _pairs_intersect(left_ring: pd.Series, right_ring: pd.Series) -> pd.Series:
+    """Exact intersects for aligned flat-ring pairs (Arrow batch).
 
     Groups the batch by distinct right geometry so each AOI ring is
     tested against its candidates in one vectorized call.
     """
-    out = np.zeros(len(left_wkb), dtype=bool)
-    rb = right_wkb.map(lambda b: bytes(b) if b is not None else None)
-    lb = left_wkb
-    frame = pd.DataFrame({"l": lb, "r": rb})
+    out = np.zeros(len(left_ring), dtype=bool)
+    rkeys = right_ring.map(
+        lambda r: None if r is None else np.asarray(r, dtype=np.float64).tobytes()
+    )
+    frame = pd.DataFrame({"l": left_ring, "r": rkeys})
     for rkey, grp in frame.groupby("r", sort=False):
         if rkey is None:
             continue
-        ring = geom.wkb_to_ring(rkey)
+        ring = np.frombuffer(rkey, dtype=np.float64).reshape(-1, 2)
         mask = grp["l"].notna()
         idx = grp.index[mask]
         if len(idx):
-            res = geom.wkb_batch_intersects([bytes(b) for b in grp.loc[idx, "l"]], ring)
+            res = geom.flat_batch_intersects(list(grp.loc[idx, "l"]), ring)
             out[frame.index.get_indexer(idx)] = res
     return pd.Series(out)
 
@@ -101,24 +102,23 @@ def spatial_join(
 ) -> DataFrame:
     """Scene × AOI polygon-intersect join (J1 at many-AOI scale).
 
-    ``scenes`` needs bbox cols + ``geometry`` WKB; ``aois`` needs
-    ``aoi_id``, bbox cols (``a_xmin``...) or a ``wkt`` column from which
-    they are derived, and ``a_geometry`` WKB.
+    ``scenes`` needs bbox cols + the flat ``ring`` column; ``aois`` needs
+    ``aoi_id``, bbox cols (``a_xmin``...) and ``a_ring``.
     Returns scene keys × ``aoi_id`` candidate-refined pairs.
     """
     scene_keys = scene_keys or ["doc_id"]
-    if "a_geometry" not in aois.columns:
-        raise ValueError("aois must carry a_geometry WKB + a_xmin/a_xmax/a_ymin/a_ymax")
+    if "a_ring" not in aois.columns:
+        raise ValueError("aois must carry a_ring + a_xmin/a_xmax/a_ymin/a_ymax")
     a = cover_cells(aois, "a_xmin", "a_xmax", "a_ymin", "a_ymax", cell_deg, out="cell")
     s = cover_cells(scenes, cell_deg=cell_deg, out="cell")
     if broadcast_aoi:
         a = F.broadcast(a)
     cand = s.join(a, on="cell", how="inner")
     # a bbox pair may share several cells → dedup before the exact test
-    keep = scene_keys + ["geometry"] + (aoi_keys or ["aoi_id"]) + ["a_geometry"]
+    keep = scene_keys + ["ring"] + (aoi_keys or ["aoi_id"]) + ["a_ring"]
     cand = cand.select(*keep).dropDuplicates(scene_keys + (aoi_keys or ["aoi_id"]))
-    refined = cand.where(_pairs_intersect(F.col("geometry"), F.col("a_geometry")))
-    return refined.drop("geometry", "a_geometry")
+    refined = cand.where(_pairs_intersect(F.col("ring"), F.col("a_ring")))
+    return refined.drop("ring", "a_ring")
 
 
 def aoi_frame(spark, aoi_wkts: list[tuple[str, str]]) -> DataFrame:
@@ -133,12 +133,12 @@ def aoi_frame(spark, aoi_wkts: list[tuple[str, str]]) -> DataFrame:
                 float(ring[:, 0].max()),
                 float(ring[:, 1].min()),
                 float(ring[:, 1].max()),
-                bytearray(geom.ring_to_wkb(ring)),
+                [float(v) for v in ring.reshape(-1)],
             )
         )
     return spark.createDataFrame(
         rows,
-        "aoi_id string, a_xmin double, a_xmax double, a_ymin double, a_ymax double, a_geometry binary",
+        "aoi_id string, a_xmin double, a_xmax double, a_ymin double, a_ymax double, a_ring array<double>",
     )
 
 
