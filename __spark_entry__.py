@@ -275,7 +275,7 @@ def q_near_dup_pairs(spark, sf):
 
     d = _t(spark, sf, "documents")
     pairs = minhash_lsh_pairs(
-        d, "text", "doc_id", n_hashes=8, n_bands=4, shingle_k=2, hash_mode="md5"
+        d, "text", "doc_id", n_hashes=16, n_bands=4, shingle_k=2, hash_mode="md5"
     )
     return jaccard_pairs(d, pairs, "text", "doc_id", shingle_k=2, threshold=0.2)
 
@@ -673,11 +673,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, {_SHINGLES} AS sh FROM toks
             ), sigs AS (
                 SELECT doc_id, sh,
-                       [list_min([{_md5num("g || '#' || s")} FOR g IN sh]) FOR s IN generate_series(0, 7)] AS sig
+                       [list_min([{_md5num("g || '#' || s")} FOR g IN sh]) FOR s IN generate_series(0, 15)] AS sig
                 FROM sh WHERE len(sh) > 0
             ), bands AS (
                 SELECT doc_id, b AS band,
-                       cast(sig[2*b+1] as varchar) || '_' || cast(sig[2*b+2] as varchar) AS key
+                       cast(sig[4*b+1] as varchar) || '_' || cast(sig[4*b+2] as varchar) || '_' || cast(sig[4*b+3] as varchar) || '_' || cast(sig[4*b+4] as varchar) AS key
                 FROM sigs, unnest(generate_series(0, 3)) AS t(b)
             ), pairs AS (
                 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b

@@ -31,6 +31,18 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
+def bind(df: DataFrame, name: str, expr: Column) -> DataFrame:
+    """Project ``expr`` as column ``name`` behind a Generate barrier.
+
+    Catalyst's CollapseProject inlines projected expressions into every
+    downstream reference — an expensive expression (shingling, a
+    16-hash minhash signature, from_json) referenced N times is
+    otherwise evaluated N times per row. ``explode(array(expr))``
+    produces exactly one row and pins the evaluation to once per row.
+    """
+    return df.select("*", F.explode(F.array(expr)).alias(name))
+
+
 def _norm_tokens(text: Column) -> Column:
     toks = F.split(F.lower(text), TOKEN_SPLIT)
     return F.filter(toks, lambda t: t != "")
@@ -79,16 +91,25 @@ def exact_dedup(
     )
 
 
-def minhash_signature(
-    text: Column, n_hashes: int = 8, shingle_k: int = 2, hash_mode: str = "md5"
+def minhash_signature_from(
+    sh: Column, n_hashes: int = 8, hash_mode: str = "md5"
 ) -> Column:
-    """Array of ``n_hashes`` min-hash values over the shingle set."""
-    sh = shingles(text, shingle_k)
+    """Array of ``n_hashes`` min-hash values over a (pre-bound) shingle
+    array column. Bind the shingles first (see :func:`bind`) — this
+    expression references them ``n_hashes`` times."""
     sigs = [
         F.array_min(F.transform(sh, lambda g, s=s: portable_hash64(g, s, hash_mode)))
         for s in range(n_hashes)
     ]
     return F.array(*sigs)
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = 8, shingle_k: int = 2, hash_mode: str = "md5"
+) -> Column:
+    """Inline variant (re-evaluates shingling per hash when collapsed —
+    prefer ``bind`` + :func:`minhash_signature_from` in pipelines)."""
+    return minhash_signature_from(shingles(text, shingle_k), n_hashes, hash_mode)
 
 
 def minhash_lsh_pairs(
@@ -110,11 +131,19 @@ def minhash_lsh_pairs(
     recall trade, not silent (count them via the returned plan).
     """
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(F.col(text_col), n_hashes, shingle_k, hash_mode)
-    with_sig = (
-        df.where(F.size(shingles(F.col(text_col), shingle_k)) > 0)
-        .select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-    )
+    # the signature is ~n_hashes × |shingles| hash evaluations per row —
+    # a single-file input would pin all of it on one task; spread first
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    # bind shingles, then the signature — each is computed once per row
+    with_sh = bind(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_sh",
+        shingles(F.col(text_col), shingle_k),
+    ).where(F.size("_sh") > 0)
+    with_sig = bind(
+        with_sh, "_sig", minhash_signature_from(F.col("_sh"), n_hashes, hash_mode)
+    ).select("_id", "_sig")
     bands = with_sig.select(
         "_id",
         F.explode(
@@ -157,9 +186,13 @@ def jaccard_pairs(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verify stage)."""
-    sh = df.select(
-        F.col(id_col).alias("_jid"), shingles(F.col(text_col), shingle_k).alias("_sh")
-    )
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    sh = bind(
+        df.select(F.col(id_col).alias("_jid"), F.col(text_col)), "_sh",
+        shingles(F.col(text_col), shingle_k),
+    ).select("_jid", "_sh")
     out = (
         pairs.join(sh.withColumnRenamed("_jid", "a").withColumnRenamed("_sh", "sh_a"), on="a")
         .join(sh.withColumnRenamed("_jid", "b").withColumnRenamed("_sh", "sh_b"), on="b")
