@@ -453,6 +453,69 @@ def q_ann_lsh(spark, sf):
     return lsh_topk(e, q, k=5, n_bits=6, n_tables=3, dim=64)
 
 
+def q_geolocation_grid(spark, sf):
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.operators.geogrid import geolocation_grid, incidence_stats
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+
+    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
+    grid = geolocation_grid(scenes, 2, 11)
+    return incidence_stats(grid).orderBy("doc_id")
+
+
+def q_border_noise(spark, sf):
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.operators.bordernoise import remove_border_noise
+    from pyrosar_spark.operators.chips import synthetic_chips
+
+    chips = synthetic_chips(docs_from_corpus(spark, sf))
+    return remove_border_noise(chips).select(
+        "media_ref", "width", "height", "first_valid_col", "n_masked", "border_points"
+    ).orderBy("media_ref")
+
+
+def q_chip_mosaic(spark, sf):
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.operators.chips import assign_chip_tiles, mosaic_tiles, synthetic_chips
+
+    chips = synthetic_chips(docs_from_corpus(spark, sf))
+    return mosaic_tiles(assign_chip_tiles(chips), px_per_degree=10).select(
+        "tile_id", "n_chips", "n_valid_px"
+    ).orderBy("tile_id")
+
+
+def q_binparse_fixed(spark, sf):
+    """CEOS-style fixed-offset ASCII field extraction (F8): a synthetic
+    2000-byte record per document with fields at fixed offsets; mirrors
+    exactly to SQL substr arithmetic."""
+    from pyrosar_spark.operators.binparse import FieldSpec, extract_fields
+
+    d = _t(spark, sf, "documents").select(
+        "doc_id",
+        F.encode(
+            F.rpad(
+                F.concat(
+                    F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+                    F.lpad(F.col("n_chars").cast("string"), 8, " "),
+                    F.rpad(F.col("lang"), 8, " "),
+                    F.col("text"),
+                ),
+                2000,
+                " ",
+            ),
+            "UTF-8",
+        ).alias("rec"),
+    )
+    specs = [
+        FieldSpec("rec_doc_id", 0, 8, "int"),
+        FieldSpec("rec_chars", 8, 8, "int"),
+        FieldSpec("rec_lang", 16, 8, "str"),
+    ]
+    return extract_fields(d, "rec", specs).select(
+        "doc_id", "rec_doc_id", "rec_chars", "rec_lang"
+    ).orderBy("doc_id")
+
+
 def q_ann_ivf(spark, sf):
     from pyrosar_spark.operators.similarity import ivf_topk
 
@@ -493,6 +556,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "geolocation_grid": q_geolocation_grid,
+        "border_noise": q_border_noise,
+        "chip_mosaic": q_chip_mosaic,
+        "binparse_fixed": q_binparse_fixed,
     }
 
 
@@ -742,6 +809,20 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(embedding[1]::DOUBLE), 4) AS sum_d1,
                    round(sum(embedding[2]::DOUBLE), 4) AS sum_d2
             FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "binparse_fixed": """
+            SELECT doc_id,
+                   cast(trim(substr(rec, 1, 8)) as bigint) AS rec_doc_id,
+                   cast(trim(substr(rec, 9, 8)) as bigint) AS rec_chars,
+                   trim(substr(rec, 17, 8)) AS rec_lang
+            FROM (
+                SELECT doc_id,
+                       rpad(lpad(cast(doc_id as varchar), 8, '0')
+                            || lpad(cast(n_chars as varchar), 8, ' ')
+                            || rpad(lang, 8, ' ')
+                            || text, 2000, ' ') AS rec
+                FROM documents
+            ) ORDER BY doc_id
         """,
         "media_decode": f"""
             SELECT doc_id,

@@ -1,0 +1,148 @@
+"""S1 GRD border-noise removal over chips (SURVEY R5).
+
+Reference semantics (``pyroSAR/S1/auxil.py:695-855``):
+ - per block of image rows: bilinear interpolation of the annotated
+   noise LUT to pixel resolution (``np.interp`` along rows then
+   columns, ``S1/auxil.py:782-800``);
+ - denoise: ``dn² − noise·scale``, clip at 0;
+ - threshold mask of the low-power border region;
+ - the jagged mask border is simplified with the Visvalingam-Whyatt
+   algorithm (``S1/polysimplify.py:40-464``, wrapped by
+   ``S1/linesimplify.py:28-227``) and shifted inward before cropping.
+
+Spark shape: chips are independent → ``mapInPandas`` over
+(chip id, dn payload, LUT) batches, pure numpy per chip. Block size in
+the reference is 2000 rows (``S1/auxil.py:734``); synthetic chips fit
+one block. The VW simplification here is a fresh numpy implementation
+of the published algorithm (effective area = triangle area of each
+interior vertex; repeatedly drop the global minimum), not a port.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+OUT_SCHEMA = (
+    "media_ref string, width int, height int, first_valid_col int, "
+    "n_masked long, border_points int, border_cols binary"
+)
+
+
+def vw_simplify(points: np.ndarray, n_keep: int) -> np.ndarray:
+    """Visvalingam-Whyatt polyline simplification to ``n_keep`` points.
+
+    Iteratively removes the interior vertex with the smallest effective
+    (triangle) area. O(n²) worst case — borders are short (≤ image
+    height), and the kernel runs per chip inside an Arrow batch.
+    """
+    pts = np.asarray(points, dtype=np.float64)
+    if len(pts) <= max(n_keep, 2):
+        return pts
+    alive = np.ones(len(pts), dtype=bool)
+
+    def tri_area(i_prev, i, i_next):
+        a, b, c = pts[i_prev], pts[i], pts[i_next]
+        return abs(
+            (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        ) / 2.0
+
+    idx = np.arange(len(pts))
+    while alive.sum() > n_keep:
+        live = idx[alive]
+        interior = live[1:-1]
+        if len(interior) == 0:
+            break
+        areas = np.array(
+            [
+                tri_area(live[k - 1], live[k], live[k + 1])
+                for k in range(1, len(live) - 1)
+            ]
+        )
+        alive[interior[int(np.argmin(areas))]] = False
+    return pts[alive]
+
+
+def _interp_lut(lut: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Bilinear LUT upsampling: ``np.interp`` rows then columns —
+    the reference's two-pass scheme (``S1/auxil.py:782-800``)."""
+    lr, lc = lut.shape
+    row_pos = np.linspace(0, height - 1, lr)
+    col_pos = np.linspace(0, width - 1, lc)
+    rows_full = np.empty((height, lc))
+    for j in range(lc):
+        rows_full[:, j] = np.interp(np.arange(height), row_pos, lut[:, j])
+    out = np.empty((height, width))
+    for i in range(height):
+        out[i] = np.interp(np.arange(width), col_pos, rows_full[i])
+    return out
+
+
+def denoise_chip(
+    dn: np.ndarray, lut: np.ndarray, scale: float = 1.0, threshold: float = 0.5
+) -> tuple[np.ndarray, np.ndarray]:
+    """``dn² − noise·scale`` (clipped at 0) + border mask below the
+    power threshold."""
+    noise = _interp_lut(lut, *dn.shape)
+    power = np.clip(dn.astype(np.float64) ** 2 - noise * scale, 0.0, None)
+    mask = power < threshold
+    return power, mask
+
+
+def border_from_mask(mask: np.ndarray) -> np.ndarray:
+    """(row, first-valid-col) polyline of the left border region."""
+    first_valid = (~mask).argmax(axis=1)
+    rows = np.arange(mask.shape[0])
+    return np.stack([rows, first_valid], axis=1).astype(np.float64)
+
+
+def remove_border_noise(
+    chips: DataFrame,
+    lut_points: int = 6,
+    scale: float = 1.0,
+    threshold: float = 0.5,
+    simplify_to: int = 8,
+) -> DataFrame:
+    """Arrow-batched border-noise removal over synthetic chips.
+
+    Chips carry (media_ref, width, height, seed); the dn payload and
+    the noise LUT are derived deterministically from the seed (no
+    raster codecs in this environment) — the numpy pipeline
+    (LUT interp → denoise → mask → VW border) is the real, tested
+    part, exactly as the reference runs it per block.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "media_ref", "width", "height", "first_valid_col",
+                "n_masked", "border_points", "border_cols",
+            )}
+            for row in pdf.itertuples():
+                h, w = int(row.height), int(row.width)
+                rng = np.random.default_rng(int(row.seed))
+                dn = rng.uniform(0.5, 2.0, size=(h, w))
+                border_w = max(w // 4, 1)
+                dn[:, :border_w] *= 0.1  # low-power border band
+                lut = rng.uniform(0.001, 0.01, size=(lut_points, lut_points))
+                _, mask = denoise_chip(dn, lut, scale, threshold)
+                border = border_from_mask(mask)
+                simplified = vw_simplify(border, simplify_to)
+                out["media_ref"].append(row.media_ref)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["first_valid_col"].append(int(border[:, 1].max()))
+                out["n_masked"].append(int(mask.sum()))
+                out["border_points"].append(len(simplified))
+                out["border_cols"].append(
+                    simplified[:, 1].astype("<f8").tobytes()
+                )
+            yield pd.DataFrame(out)
+
+    return chips.select("media_ref", "width", "height", "seed").mapInPandas(
+        run, OUT_SCHEMA
+    )
