@@ -516,6 +516,34 @@ def q_binparse_fixed(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_s1_resolution(spark, sf):
+    """S1 resolution physics (F11) over deterministic per-doc annotation
+    parameters derived from documents columns; exact arithmetic both
+    engines (window coefficient cycles through the Hamming table)."""
+    from pyrosar_spark.operators.physics import s1_resolution, HAMMING_COEFFICIENTS
+
+    coeffs = F.array(*[F.lit(c) for c in HAMMING_COEFFICIENTS])
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.element_at(coeffs, (F.col("doc_id") % 10 + 1).cast("int")).alias("w_rg"),
+        (F.lit(3.0e7) + F.col("doc_id") * 1000.0).alias("b_rg"),
+        (F.lit(3.0e7) + F.col("doc_id") * 1000.0).alias("lb_rg"),
+        F.element_at(coeffs, (F.col("doc_id") % 10 + 1).cast("int")).alias("w_az"),
+        F.lit(300.0).alias("b_az"),
+        F.lit(300.0).alias("lb_az"),
+        F.lit(10.0).alias("sp_az"),
+        F.lit(0.002).alias("ti_az"),
+        F.when(F.col("doc_id") % 2 == 0, "GROUND_RANGE").otherwise("SLANT_RANGE").alias("image_geometry"),
+        (F.lit(29.0) + (F.col("doc_id") % 17).cast("double")).alias("incidence"),
+    )
+    out = s1_resolution(d)
+    return out.select(
+        "doc_id",
+        F.round("resolution_rg", 6).alias("resolution_rg"),
+        F.round("resolution_az", 6).alias("resolution_az"),
+    ).orderBy(F.col("doc_id").cast("bigint"))
+
+
 def q_ann_ivf(spark, sf):
     from pyrosar_spark.operators.similarity import ivf_topk
 
@@ -560,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "border_noise": q_border_noise,
         "chip_mosaic": q_chip_mosaic,
         "binparse_fixed": q_binparse_fixed,
+        "s1_resolution": q_s1_resolution,
     }
 
 
@@ -809,6 +838,23 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(embedding[1]::DOUBLE), 4) AS sum_d1,
                    round(sum(embedding[2]::DOUBLE), 4) AS sum_d2
             FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "s1_resolution": """
+            WITH p AS (
+                SELECT cast(doc_id as varchar) AS doc_id,
+                       (3.0e7 + doc_id * 1000.0) AS b_rg,
+                       (CASE (doc_id % 10) WHEN 0 THEN 1.54 WHEN 1 THEN 1.32 WHEN 2 THEN 1.3 WHEN 3 THEN 1.28 WHEN 4 THEN 1.27 WHEN 5 THEN 1.24 WHEN 6 THEN 1.18 WHEN 7 THEN 1.16 WHEN 8 THEN 1.15 WHEN 9 THEN 1.13 END) AS k,
+                       CASE WHEN doc_id % 2 = 0 THEN 'GROUND_RANGE' ELSE 'SLANT_RANGE' END AS geom,
+                       29.0 + cast(doc_id % 17 as double) AS incidence,
+                       doc_id AS did
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(CASE WHEN geom = 'GROUND_RANGE'
+                              THEN (0.886 * 299792458.0 / (2 * b_rg) * k * 1.0) / sin(radians(incidence))
+                              ELSE 0.886 * 299792458.0 / (2 * b_rg) * k * 1.0 END, 6) AS resolution_rg,
+                   round(0.886 * (10.0 / 0.002) / 300.0 * k * 1.0, 6) AS resolution_az
+            FROM p ORDER BY did
         """,
         "binparse_fixed": """
             SELECT doc_id,
