@@ -28,7 +28,7 @@ import subprocess
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_DOCS = int(os.environ.get("SPARK_GRAFT_NDOCS", "8000000"))
 LEVELS = (4, 16)
-REPS = 7  # first 2 = warm-up
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "7"))  # first 2 = warm-up
 DOCS_PATH = f"/tmp/pyrosar_scaling_docs_{N_DOCS}"
 CAT_PATH = "/tmp/pyrosar_scaling_catalog"
 
