@@ -271,13 +271,16 @@ def q_exact_dedup_docs(spark, sf):
 
 
 def q_near_dup_pairs(spark, sf):
-    from pyrosar_spark.operators.dedup import jaccard_pairs, minhash_lsh_pairs
+    # max_bucket is effectively unbounded here so the engine and the
+    # DuckDB oracle share identical semantics at every sf (the capped
+    # production path is exercised + counted in tests/bench instead)
+    from pyrosar_spark.operators.dedup import near_dup_pairs
 
     d = _t(spark, sf, "documents")
-    pairs = minhash_lsh_pairs(
-        d, "text", "doc_id", n_hashes=16, n_bands=4, shingle_k=2, hash_mode="md5"
+    return near_dup_pairs(
+        d, "text", "doc_id", n_hashes=16, n_bands=4, shingle_k=2,
+        threshold=0.2, max_bucket=1 << 40,
     )
-    return jaccard_pairs(d, pairs, "text", "doc_id", shingle_k=2, threshold=0.2)
 
 
 def q_token_stats(spark, sf):
@@ -605,6 +608,13 @@ def _md5num(x: str) -> str:
     return _MD5NUM.format(X=x)
 
 
+def _mask_sql_list(n_hashes: int) -> str:
+    """SQL list literal of the engine's deterministic minhash XOR masks."""
+    from pyrosar_spark.operators.dedup import minhash_masks
+
+    return "[" + ", ".join(str(m) for m in minhash_masks(n_hashes)) + "]"
+
+
 # shared doc tokenization for the dedup/text oracles
 _TOKS = (
     "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -767,10 +777,13 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, {_TOKS} AS tk FROM documents
             ), sh AS (
                 SELECT doc_id, {_SHINGLES} AS sh FROM toks
+            ), hs AS (
+                SELECT doc_id, sh, [{_md5num("g")} FOR g IN sh] AS hs
+                FROM sh WHERE len(sh) > 0
             ), sigs AS (
                 SELECT doc_id, sh,
-                       [list_min([{_md5num("g || '#' || s")} FOR g IN sh]) FOR s IN generate_series(0, 15)] AS sig
-                FROM sh WHERE len(sh) > 0
+                       [list_min([xor(h, m) FOR h IN hs]) FOR m IN {_mask_sql_list(16)}] AS sig
+                FROM hs
             ), bands AS (
                 SELECT doc_id, b AS band,
                        cast(sig[4*b+1] as varchar) || '_' || cast(sig[4*b+2] as varchar) || '_' || cast(sig[4*b+3] as varchar) || '_' || cast(sig[4*b+4] as varchar) AS key

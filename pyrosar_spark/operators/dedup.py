@@ -10,25 +10,108 @@ dedup J6 at ``pyroSAR/archive.py:563-577``):
    hamming distance ≤ k;
  - **n-gram Jaccard**: exact pairwise similarity on candidate pairs.
 
-Everything runs JVM-side (higher-order array functions + hash
-builtins) — no Python in the hot path. ``hash_mode`` selects
-``xxhash64`` (fast path, default) or ``md5`` (bit-portable across
-engines — used by the DuckDB correctness oracles; md5 is ~2× slower
-but deterministic everywhere).
+Hot-path layout (measured, round 2): Catalyst evaluates higher-order
+array functions (``transform``/``slice``/``array_join`` lambdas)
+interpreted and allocation-heavy — the pure-JVM shingle expression
+costs ~1.5 ms/row, and every downstream stage that references it
+re-evaluates it. The production path is therefore ONE Arrow batch UDF
+(:func:`shingle_minhash_udf`) that tokenizes, shingles, and hashes a
+whole batch in numpy/hashlib (~20 µs/row), evaluated exactly once and
+reused by both the LSH banding and the exact-Jaccard verify stage.
+The minhash family is XOR-derived — one md5 per shingle, then
+``n_hashes`` XOR masks — instead of ``n_hashes`` independent salted
+md5s (16× fewer digests; XOR by a fixed mask is a bijection on the
+60-bit hash space, so each ``min`` is still a uniform minwise sample).
+The md5→60-bit form is bit-portable to any engine (DuckDB oracle
+mirrors it literally). The JVM-expression variants are retained below
+for zero-Python deployments.
 
 Scale notes: the only shuffles are groupBys on hash keys (uniform by
 construction). LSH band explosion multiplies rows by n_bands (≤ 16);
 candidate pairs are deduped before the exact verify. For 100 TB,
-band-bucket skew (a viral duplicate cluster) is bounded by capping
-bucket size with a count filter before the self-join.
+band-bucket skew (a viral duplicate cluster) is bounded by
+``max_bucket``: hot buckets are detected with a cheap count
+aggregation (map-side partial agg, no list materialization) and
+anti-joined out *before* ``collect_list``, so neither the aggregation
+buffer nor the pair join ever sees a viral bucket; the dropped-bucket
+count is observable via :func:`dropped_bucket_stats`.
 """
 
 from __future__ import annotations
 
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TOKEN_SPLIT = "[^a-z0-9]+"
+_TOKEN_RE = re.compile(TOKEN_SPLIT)
+
+_MASK60 = (1 << 60) - 1
+
+
+def minhash_masks(n_hashes: int) -> list[int]:
+    """Deterministic 60-bit XOR masks for the derived minhash family —
+    reproducible in SQL as literals (mask s = first 15 hex chars of
+    ``md5('mask#s')``)."""
+    return [
+        int(hashlib.md5(f"mask#{s}".encode()).hexdigest()[:15], 16)
+        for s in range(n_hashes)
+    ]
+
+
+def _md5_60(value: str) -> int:
+    return int(hashlib.md5(value.encode()).hexdigest()[:15], 16)
+
+
+def _py_shingles(text: str, k: int) -> list[str]:
+    toks = [t for t in _TOKEN_RE.split(text.lower()) if t]
+    if len(toks) < k:
+        return []
+    seen: dict[str, None] = {}
+    for i in range(len(toks) - k + 1):
+        seen.setdefault(" ".join(toks[i : i + k]), None)
+    return list(seen)
+
+
+def shingle_minhash_udf(n_hashes: int = 16, shingle_k: int = 2):
+    """Arrow batch UDF: text → struct(sh: array<string>, sig: array<long>).
+
+    One md5 per distinct shingle (bit-portable 60-bit form), signature
+    via XOR masks + min. Shingles preserve first-occurrence order and
+    match :func:`shingles` / the DuckDB ``list_distinct`` oracle.
+    """
+    masks = np.array(minhash_masks(n_hashes), dtype=np.int64)
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("sh", T.ArrayType(T.StringType())),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        )
+    )
+    def run(texts: pd.Series) -> pd.DataFrame:
+        shs: list[list[str]] = []
+        sigs: list[list[int] | None] = []
+        for text in texts:
+            grams = _py_shingles(text or "", shingle_k)
+            shs.append(grams)
+            if not grams:
+                sigs.append(None)
+                continue
+            base = np.fromiter(
+                (_md5_60(g) for g in grams), dtype=np.int64, count=len(grams)
+            )
+            # (n_hashes, n_shingles) xor table → per-mask min
+            sigs.append((base[None, :] ^ masks[:, None]).min(axis=1).tolist())
+        return pd.DataFrame({"sh": shs, "sig": sigs})
+
+    return run
 
 
 def bind(df: DataFrame, name: str, expr: Column) -> DataFrame:
@@ -112,6 +195,109 @@ def minhash_signature(
     return minhash_signature_from(shingles(text, shingle_k), n_hashes, hash_mode)
 
 
+def shingle_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(_id, _sh, _sig) per document — the one expensive evaluation of
+    the near-dup pipeline (Arrow batch; see module docstring). A
+    single-file input would pin the whole batch on one task, so the
+    frame is spread to the session parallelism first."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
+    udf = shingle_minhash_udf(n_hashes, shingle_k)
+    return (
+        bind(
+            df.select(F.col(id_col).alias("_id"), F.col(text_col)),
+            "_ss",
+            udf(F.col(text_col)),
+        )
+        .select("_id", F.col("_ss.sh").alias("_sh"), F.col("_ss.sig").alias("_sig"))
+        .where(F.size("_sh") > 0)
+    )
+
+
+def band_keys(sig: Column, n_hashes: int, n_bands: int) -> Column:
+    """array<struct<band,key>> of LSH band keys from a signature."""
+    rows_per_band = n_hashes // n_bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "_",
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def _lsh_bands(sh_frame: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    return sh_frame.select(
+        "_id", F.explode(band_keys(F.col("_sig"), n_hashes, n_bands)).alias("bk")
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def _candidate_pairs(bands: DataFrame, max_bucket: int) -> DataFrame:
+    # hot-bucket guard BEFORE any list materialization: the count agg is
+    # map-side partial (bytes per key), the over-cap key set is tiny and
+    # broadcast anti-joined, then collect_list only ever sees bounded
+    # buckets (ADVICE r1: cap aggregation memory, not just the join).
+    hot = (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+        .select("band", "key")
+    )
+    clean = bands.join(F.broadcast(hot), on=["band", "key"], how="left_anti")
+    buckets = (
+        clean.groupBy("band", "key")
+        .agg(F.collect_list("_id").alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    return (
+        buckets.select(F.explode("ids").alias("a"), F.col("ids"))
+        .select("a", F.explode("ids").alias("b"))
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+
+
+def dropped_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Observability for the ``max_bucket`` recall trade: one row with
+    the number of over-cap buckets and their total membership. Run it
+    alongside :func:`near_dup_pairs` when the cap is active so drops
+    are recorded, not silent."""
+    sh = shingle_frame(df, text_col, id_col, n_hashes, shingle_k)
+    bands = _lsh_bands(sh, n_hashes, n_bands)
+    return (
+        bands.groupBy("band", "key")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > max_bucket)
+        .agg(
+            F.count("*").alias("n_dropped_buckets"),
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_dropped_members"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -126,55 +312,14 @@ def minhash_lsh_pairs(
 
     rows-per-band = n_hashes / n_bands. Pairs are (a < b), deduped
     across bands. ``max_bucket`` caps pathological buckets (viral
-    near-identical clusters) so the within-bucket self-join cannot
-    explode quadratically at scale — dropped buckets are a documented
-    recall trade, not silent (count them via the returned plan).
+    near-identical clusters); over-cap buckets are filtered before the
+    list aggregation (memory-bounded) — count them with
+    :func:`dropped_bucket_stats`. ``hash_mode`` is kept for API compat;
+    the Arrow path always uses the md5-portable XOR family.
     """
-    rows_per_band = n_hashes // n_bands
-    # the signature is ~n_hashes × |shingles| hash evaluations per row —
-    # a single-file input would pin all of it on one task; spread first
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    # bind shingles, then the signature — each is computed once per row
-    with_sh = bind(
-        df.select(F.col(id_col).alias("_id"), F.col(text_col)), "_sh",
-        shingles(F.col(text_col), shingle_k),
-    ).where(F.size("_sh") > 0)
-    with_sig = bind(
-        with_sh, "_sig", minhash_signature_from(F.col("_sh"), n_hashes, hash_mode)
-    ).select("_id", "_sig")
-    bands = with_sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            "_",
-                        ).alias("key"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    counted = bands.groupBy("band", "key").agg(
-        F.collect_list("_id").alias("ids"), F.count("*").alias("n")
-    )
-    small = counted.where((F.col("n") >= 2) & (F.col("n") <= max_bucket))
-    pairs = (
-        small.select(F.explode("ids").alias("a"), F.col("ids"))
-        .select("a", F.explode("ids").alias("b"))
-        .where(F.col("a") < F.col("b"))
-        .distinct()
-    )
-    return pairs
+    del hash_mode
+    sh = shingle_frame(df, text_col, id_col, n_hashes, shingle_k)
+    return _candidate_pairs(_lsh_bands(sh, n_hashes, n_bands), max_bucket)
 
 
 def jaccard_pairs(
@@ -184,18 +329,22 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 2,
     threshold: float = 0.0,
+    sh_frame: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (verify stage)."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        df = df.repartition(sc.defaultParallelism)
-    sh = bind(
-        df.select(F.col(id_col).alias("_jid"), F.col(text_col)), "_sh",
-        shingles(F.col(text_col), shingle_k),
-    ).select("_jid", "_sh")
+    """Exact shingle-set Jaccard for candidate pairs (verify stage).
+
+    Pass ``sh_frame`` (from :func:`shingle_frame`) to reuse the shingle
+    computation from the candidate stage instead of re-deriving it."""
+    sh = (
+        sh_frame.select("_id", "_sh")
+        if sh_frame is not None
+        else shingle_frame(df, text_col, id_col, 1, shingle_k).select("_id", "_sh")
+    )
     out = (
-        pairs.join(sh.withColumnRenamed("_jid", "a").withColumnRenamed("_sh", "sh_a"), on="a")
-        .join(sh.withColumnRenamed("_jid", "b").withColumnRenamed("_sh", "sh_b"), on="b")
+        pairs.join(
+            sh.withColumnRenamed("_id", "a").withColumnRenamed("_sh", "sh_a"), on="a"
+        )
+        .join(sh.withColumnRenamed("_id", "b").withColumnRenamed("_sh", "sh_b"), on="b")
         .withColumn(
             "jaccard",
             F.round(
@@ -208,6 +357,32 @@ def jaccard_pairs(
         .select("a", "b", "jaccard")
     )
     return out
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 2,
+    threshold: float = 0.0,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """End-to-end near-dup: shingle+sign once (cached), LSH candidates,
+    exact-Jaccard verify on the same shingle frame.
+
+    The shingle frame is persisted and materialized before fan-out (a
+    cached DataFrame referenced twice inside one action would race its
+    own cache fill), then reused by both the banding and verify joins —
+    no recomputation of the expensive stage anywhere in the plan.
+    """
+    sh = shingle_frame(df, text_col, id_col, n_hashes, shingle_k).persist()
+    sh.count()  # materialize before double-reference
+    cand = _candidate_pairs(_lsh_bands(sh, n_hashes, n_bands), max_bucket)
+    return jaccard_pairs(
+        df, cand, text_col, id_col, shingle_k, threshold, sh_frame=sh
+    )
 
 
 def simhash64(text: Column, hash_mode: str = "xxhash64") -> Column:
@@ -259,12 +434,31 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     n_blocks: int = 4,
+    hash_mode: str = "xxhash64",
+    allow_partial_recall: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with block-permutation candidate
-    generation: split the 64-bit hash into ``n_blocks`` 16-bit blocks;
+    generation: split the 64-bit hash into ``n_blocks`` equal blocks;
     any pair within hamming ≤ n_blocks-1 shares ≥1 exact block
-    (pigeonhole) → equi-join per block, then exact hamming verify."""
-    sh = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sh"))
+    (pigeonhole) → equi-join per block, then exact hamming verify.
+
+    The pigeonhole recall guarantee only holds for
+    ``max_hamming <= n_blocks - 1`` — a larger threshold silently
+    misses pairs that do not coincidentally share a block, so it is
+    rejected unless ``allow_partial_recall=True`` is passed explicitly
+    (and then the shortfall is the caller's documented trade).
+    ``hash_mode='md5'`` selects the engine-portable token hash so the
+    whole operator is reproducible in SQL oracles.
+    """
+    if max_hamming > n_blocks - 1 and not allow_partial_recall:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole recall bound "
+            f"n_blocks-1={n_blocks - 1}; raise n_blocks or pass "
+            "allow_partial_recall=True to accept missed pairs"
+        )
+    sh = df.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col), hash_mode).alias("_sh")
+    )
     width = 64 // n_blocks
     blocks = sh.select(
         "_id",

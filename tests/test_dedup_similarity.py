@@ -64,9 +64,25 @@ def test_simhash_near_dup(docs_df):
     sh = docs_df.select("doc_id", simhash64(F.col("text")).alias("sh")).collect()
     vals = {r.doc_id: r.sh for r in sh}
     assert vals[1] == vals[4]  # identical text → identical simhash
-    pairs = simhash_pairs(docs_df, max_hamming=10)
+    pairs = simhash_pairs(docs_df, max_hamming=10, allow_partial_recall=True)
     got = {(r.a, r.b): r.hamming for r in pairs.collect()}
     assert got.get((1, 4)) == 0
+    # recall contract: threshold beyond the pigeonhole bound is rejected
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs_df, max_hamming=10)
+
+
+def test_near_dup_composite_and_bucket_stats(docs_df):
+    from pyrosar_spark.operators.dedup import dropped_bucket_stats, near_dup_pairs
+
+    out = near_dup_pairs(docs_df, n_hashes=8, n_bands=4, threshold=0.5)
+    got = {(r.a, r.b): r.jaccard for r in out.collect()}
+    assert got.get((1, 4)) == 1.0
+    # with a cap of 1 every bucket with >=2 members is dropped → no pairs
+    capped = near_dup_pairs(docs_df, n_hashes=8, n_bands=4, max_bucket=1)
+    assert capped.count() == 0
+    stats = dropped_bucket_stats(docs_df, n_hashes=8, n_bands=4, max_bucket=1).first()
+    assert stats.n_dropped_buckets > 0 and stats.n_dropped_members >= 2
 
 
 def test_cosine_topk_exact(spark):
