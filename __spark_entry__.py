@@ -51,14 +51,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
     docs = docs_from_corpus(spark, "/root/testdata/sf0.001")
     scenes = docs_to_scenes(docs)
-    hits = select(
+    # select projects every column the tile stage needs — no doc-id
+    # semi-join (a broadcast build of the hit set is driver-serial work
+    # that caps scaling efficiency; measured round 2)
+    sel = select(
         scenes,
         mindate="20150101T000000",
         maxdate="20151231T235959",
         aoi_wkt=FLAGSHIP_AOI,
-        return_value=["doc_id"],
+        return_value=["doc_id", "outname_base", "start", "xmin", "xmax", "ymin", "ymax"],
     )
-    sel = scenes.join(hits.select("doc_id"), "doc_id", "left_semi")
     tiles = assign_hgt(sel)
     return tiles.select("doc_id", "outname_base", "start", "tile_id").orderBy(
         "doc_id", "tile_id"
@@ -370,68 +372,103 @@ def q_media_decode(spark, sf):
 
 
 # ---------------------------------------------------------------------------
-# scene-engine queries over synthesized interleaved docs (rows-only checks;
-# exact goldens live in tests/)
+# scene-engine queries over synthesized interleaved docs.
+#
+# Oracle strategy (round 2): the scene catalog is synthesized from the
+# corpus via xxhash64 (not reproducible in SQL), so each query WRITES
+# its deterministic intermediate input to a parquet handoff under
+# /tmp/pyrosar_oracle (an eager side effect before the returned plan),
+# and the DuckDB oracle reads the SAME parquet — the join / PIP / kNN /
+# as-of / session logic is then verified by a fully independent SQL
+# implementation. The parse stage itself is covered by exact goldens in
+# tests/ (reference WKT / outname_base / tile parity).
 # ---------------------------------------------------------------------------
+
+_ORACLE_DIR = "/tmp/pyrosar_oracle"
+
+AOI_RECTS = {
+    "west": (-180.0, -40.0, -140.0, 60.0),  # == FLAGSHIP_AOI
+    "europe": (0.0, 35.0, 30.0, 60.0),
+    "nowhere": (200.0, 80.0, 201.0, 81.0),
+}
+
+
+def _handoff(df: DataFrame, name: str) -> DataFrame:
+    """Write a deterministic intermediate frame to the oracle handoff
+    dir (eager) and return the read-back, so engine and DuckDB oracle
+    consume byte-identical input."""
+    path = f"{_ORACLE_DIR}/{name}.parquet"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
+def _oracle_scan(name: str) -> str:
+    return f"read_parquet('{_ORACLE_DIR}/{name}.parquet/*.parquet')"
+
+
+def _scenes_handoff(spark, sf) -> DataFrame:
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.functions.temporal import seconds_col
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+
+    scenes = docs_to_scenes(docs_from_corpus(spark, sf)).select(
+        "doc_id", "sensor", "orbitNumber_rel", "outname_base", "start",
+        "lines", "samples", "xmin", "xmax", "ymin", "ymax", "ring",
+        seconds_col("start").alias("tsec"),
+    )
+    return _handoff(scenes, "scenes")
 
 
 def q_scene_select_tiles(spark, sf):
-    from pyrosar_spark.datagen import docs_from_corpus
-    from pyrosar_spark.operators.ingest import docs_to_scenes
     from pyrosar_spark.operators.select import select
     from pyrosar_spark.operators.tiles import assign_hgt
 
-    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
-    hits = select(scenes, aoi_wkt=FLAGSHIP_AOI, return_value=["doc_id"])
-    sel = scenes.join(hits, "doc_id", "left_semi")
+    scenes = _scenes_handoff(spark, sf)
+    sel = select(
+        scenes, aoi_wkt=FLAGSHIP_AOI,
+        return_value=["doc_id", "xmin", "xmax", "ymin", "ymax"],
+    )
     return assign_hgt(sel).groupBy("tile_id").agg(F.count("*").alias("n_scenes"))
 
 
 def q_scene_spatial_join(spark, sf):
-    from pyrosar_spark.datagen import docs_from_corpus
-    from pyrosar_spark.operators.ingest import docs_to_scenes
     from pyrosar_spark.operators.spatial import aoi_frame, spatial_join
 
-    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
+    scenes = _scenes_handoff(spark, sf)
     aois = aoi_frame(
         spark,
         [
-            ("west", FLAGSHIP_AOI),
-            ("europe", "POLYGON((0 35, 30 35, 30 60, 0 60, 0 35))"),
-            ("nowhere", "POLYGON((200 80, 201 80, 201 81, 200 81, 200 80))"),
+            (name, "POLYGON(({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))".format(
+                x0=r[0], y0=r[1], x1=r[2], y1=r[3]))
+            for name, r in AOI_RECTS.items()
         ],
     )
     return spatial_join(scenes, aois).orderBy("aoi_id", "doc_id")
 
 
 def q_scene_knn(spark, sf):
-    from pyrosar_spark.datagen import docs_from_corpus
-    from pyrosar_spark.operators.ingest import docs_to_scenes
     from pyrosar_spark.operators.spatial import knn_scenes
 
-    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
-    return knn_scenes(scenes, k=3).orderBy("q_id", "rank")
+    scenes = _scenes_handoff(spark, sf)
+    out = knn_scenes(scenes, k=3)
+    return out.select(
+        "q_id", "n_id", F.round("dist_km", 6).alias("dist_km"), "rank"
+    ).orderBy("q_id", "rank")
 
 
 def q_scene_osv_asof(spark, sf):
-    from pyrosar_spark.datagen import docs_from_corpus, generate_osv
+    from pyrosar_spark.datagen import generate_osv
     from pyrosar_spark.operators.asof import osv_match
-    from pyrosar_spark.operators.ingest import docs_to_scenes
 
-    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
-    osv = generate_osv(spark, 2000, seed=42)
+    scenes = _scenes_handoff(spark, sf)
+    osv = _handoff(generate_osv(spark, 2000, seed=42), "osv")
     return osv_match(scenes, osv, ["POE", "RES"]).orderBy("doc_id")
 
 
 def q_scene_sessions(spark, sf):
-    from pyrosar_spark.datagen import docs_from_corpus
-    from pyrosar_spark.functions.temporal import seconds_col
-    from pyrosar_spark.operators.ingest import docs_to_scenes
     from pyrosar_spark.operators.session_group import groupby_time_collect
 
-    scenes = docs_to_scenes(docs_from_corpus(spark, sf)).withColumn(
-        "tsec", seconds_col("start")
-    )
+    scenes = _scenes_handoff(spark, sf)
     return (
         groupby_time_collect(
             scenes, "outname_base", "tsec", 3600.0, key_cols=["orbitNumber_rel"]
@@ -442,10 +479,14 @@ def q_scene_sessions(spark, sf):
 
 
 def q_simhash_pairs(spark, sf):
+    # max_hamming=3 keeps the 4-block pigeonhole recall guarantee exact
+    # (r1 ran 16, a silent recall shortfall); md5 mode is SQL-portable
     from pyrosar_spark.operators.dedup import simhash_pairs
 
     d = _t(spark, sf, "documents")
-    return simhash_pairs(d, "text", "doc_id", max_hamming=16).orderBy("a", "b")
+    return simhash_pairs(
+        d, "text", "doc_id", max_hamming=3, n_blocks=4, hash_mode="md5"
+    ).orderBy("a", "b")
 
 
 def q_ann_lsh(spark, sf):
@@ -457,13 +498,28 @@ def q_ann_lsh(spark, sf):
 
 
 def q_geolocation_grid(spark, sf):
-    from pyrosar_spark.datagen import docs_from_corpus
-    from pyrosar_spark.operators.geogrid import geolocation_grid, incidence_stats
-    from pyrosar_spark.operators.ingest import docs_to_scenes
+    from pyrosar_spark.operators.geogrid import geolocation_grid
 
-    scenes = docs_to_scenes(docs_from_corpus(spark, sf))
+    scenes = _scenes_handoff(spark, sf)
     grid = geolocation_grid(scenes, 2, 11)
-    return incidence_stats(grid).orderBy("doc_id")
+    # order-independent exact aggregates: int sums of line/pixel, min/max
+    # incidence, micro-degree integer sums of the interpolated lon/lat
+    # (the arithmetic is pure +-*/ so both engines produce bit-identical
+    # doubles; rounding to integer micro-degrees makes the SUM exact in
+    # any aggregation order)
+    return (
+        grid.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.sum("line").alias("sum_line"),
+            F.sum("pixel").alias("sum_pixel"),
+            F.min("incidenceAngle").alias("incidence_min"),
+            F.max("incidenceAngle").alias("incidence_max"),
+            F.sum(F.round(F.col("lon") * 1e6, 0).cast("bigint")).alias("sum_lon_micro"),
+            F.sum(F.round(F.col("lat") * 1e6, 0).cast("bigint")).alias("sum_lat_micro"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_border_noise(spark, sf):
@@ -471,9 +527,16 @@ def q_border_noise(spark, sf):
     from pyrosar_spark.operators.bordernoise import remove_border_noise
     from pyrosar_spark.operators.chips import synthetic_chips
 
-    chips = synthetic_chips(docs_from_corpus(spark, sf))
-    return remove_border_noise(chips).select(
-        "media_ref", "width", "height", "first_valid_col", "n_masked", "border_points"
+    chips = _handoff(
+        synthetic_chips(docs_from_corpus(spark, sf)).select(
+            "media_ref", "width", "height", "seed"
+        ),
+        "chips_bn",
+    )
+    # portable payload → the threshold mask is reproducible in SQL;
+    # the VW border simplification stays golden-tested in tests/
+    return remove_border_noise(chips, payload="portable").select(
+        "media_ref", "width", "height", "first_valid_col", "n_masked"
     ).orderBy("media_ref")
 
 
@@ -481,8 +544,14 @@ def q_chip_mosaic(spark, sf):
     from pyrosar_spark.datagen import docs_from_corpus
     from pyrosar_spark.operators.chips import assign_chip_tiles, mosaic_tiles, synthetic_chips
 
-    chips = synthetic_chips(docs_from_corpus(spark, sf))
-    return mosaic_tiles(assign_chip_tiles(chips), px_per_degree=10).select(
+    chips = _handoff(
+        assign_chip_tiles(synthetic_chips(docs_from_corpus(spark, sf))).select(
+            "media_ref", "tile_lat", "tile_lon", "tile_id", "ulx", "uly",
+            "xres", "yres", "width", "height", "area_or_point", "seed",
+        ),
+        "chips_tiles",
+    )
+    return mosaic_tiles(chips, px_per_degree=10).select(
         "tile_id", "n_chips", "n_valid_px"
     ).orderBy("tile_id")
 
@@ -547,6 +616,78 @@ def q_s1_resolution(spark, sf):
     ).orderBy(F.col("doc_id").cast("bigint"))
 
 
+def q_xmlparse_safe(spark, sf):
+    """SAFE manifest XML span parse (S4 XML variant, reference
+    ``drivers.py:2205-2294``): a synthetic manifest per document built
+    from its columns, round-tripped through the namespace-proof regexp
+    extraction; the oracle computes the expected fields directly from
+    first principles (no XML on the DuckDB side)."""
+    from pyrosar_spark.operators.xmlmeta import parse_safe_manifest
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    lat0 = (did % 120).cast("double") - 60 + 0.25
+    lon0 = (did % 300).cast("double") - 150 + 0.5
+    corners = [
+        (lat0, lon0),
+        (lat0 + 1.5, lon0 + 0.4),
+        (lat0 + 1.1, lon0 + 3.9),
+        (lat0 - 0.4, lon0 + 3.5),
+    ]
+    gml = F.concat_ws(
+        " ",
+        *[
+            F.concat(la.cast("string"), F.lit(","), lo.cast("string"))
+            for la, lo in corners
+        ],
+    )
+    sensor = F.when(did % 2 == 0, "S1A").otherwise("S1B")
+    mode = (
+        F.when(did % 3 == 0, "IW").when(did % 3 == 1, "EW").otherwise("SM")
+    )
+    pols = F.when(did % 2 == 0, "<s1:transmitterReceiverPolarisation>VV"
+                  "</s1:transmitterReceiverPolarisation>"
+                  "<s1:transmitterReceiverPolarisation>VH"
+                  "</s1:transmitterReceiverPolarisation>").otherwise(
+        "<s1:transmitterReceiverPolarisation>HH"
+        "</s1:transmitterReceiverPolarisation>"
+        "<s1:transmitterReceiverPolarisation>HV"
+        "</s1:transmitterReceiverPolarisation>")
+    start_t = F.concat(
+        F.lit("2015-03-"), two(did % 27 + 1), F.lit("T"), two(did % 24),
+        F.lit(":"), two(did % 60), F.lit(":"), two((did * 7) % 60),
+        F.lit(".000000"),
+    )
+    stop_t = F.concat(
+        F.lit("2015-03-"), two(did % 27 + 1), F.lit("T"), two((did * 3) % 24),
+        F.lit(":"), two((did * 5) % 60), F.lit(":"), two((did * 11) % 60),
+        F.lit(".000000"),
+    )
+    xml = F.concat(
+        F.lit("<safe:manifest><metadataSection><s1sarl1:missionId>"), sensor,
+        F.lit("</s1sarl1:missionId><s1sarl1:mode>"), mode,
+        F.lit("</s1sarl1:mode><s1sarl1:productType>GRD</s1sarl1:productType><s1:pass>"),
+        F.when(did % 2 == 0, "ASCENDING").otherwise("DESCENDING"),
+        F.lit("</s1:pass><safe:startTime>"), start_t,
+        F.lit("</safe:startTime><safe:stopTime>"), stop_t,
+        F.lit("</safe:stopTime><safe:orbitNumber>"), (1000 + did).cast("string"),
+        F.lit("</safe:orbitNumber><safe:relativeOrbitNumber>"),
+        (did % 175 + 1).cast("string"),
+        F.lit("</safe:relativeOrbitNumber><safe:cycleNumber>"),
+        (did % 60 + 1).cast("string"), F.lit("</safe:cycleNumber>"), pols,
+        F.lit("<gml:coordinates>"), gml,
+        F.lit("</gml:coordinates></metadataSection></safe:manifest>"),
+    )
+    parsed = parse_safe_manifest(d.select("doc_id", xml.alias("xml")), "xml")
+    return parsed.select(
+        "doc_id", "sensor", "acquisition_mode", "product", "orbit",
+        "start", "stop", "orbitNumber_abs", "orbitNumber_rel", "cycleNumber",
+        F.concat_ws("/", "polarizations").alias("pols"),
+        "xmin", "xmax", "ymin", "ymax", "outname_base",
+    ).orderBy("doc_id")
+
+
 def q_ann_ivf(spark, sf):
     from pyrosar_spark.operators.similarity import ivf_topk
 
@@ -592,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chip_mosaic": q_chip_mosaic,
         "binparse_fixed": q_binparse_fixed,
         "s1_resolution": q_s1_resolution,
+        "xmlparse_safe": q_xmlparse_safe,
     }
 
 
@@ -613,6 +755,73 @@ def _mask_sql_list(n_hashes: int) -> str:
     from pyrosar_spark.operators.dedup import minhash_masks
 
     return "[" + ", ".join(str(m) for m in minhash_masks(n_hashes)) + "]"
+
+
+def _rect_sat_pred(ring: str, x0: float, y0: float, x1: float, y1: float) -> str:
+    """Convex-polygon × axis-aligned-rectangle intersect as SQL
+    (separating-axis test; touch-inclusive like the engine's exact
+    segment/PIP test): bbox overlap (the rectangle's two axes) AND no
+    CCW polygon edge has all four rectangle corners strictly outside.
+    """
+    corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    crosses = ", ".join(
+        f"(({ring}[2*i+1]-{ring}[2*i-1])*(({qy!r})-{ring}[2*i])"
+        f" - ({ring}[2*i+2]-{ring}[2*i])*(({qx!r})-{ring}[2*i-1]))"
+        for qx, qy in corners
+    )
+    return (
+        f"(xmin <= {x1!r} AND xmax >= {x0!r} AND ymin <= {y1!r} AND ymax >= {y0!r}"
+        f" AND len(list_filter(generate_series(1, len({ring})//2 - 1),"
+        f" i -> greatest({crosses}) < 0)) = 0)"
+    )
+
+
+def _haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Mirror of spatial.haversine_km — identical literal constants and
+    operation order so both engines evaluate the same IEEE doubles."""
+    p = repr(3.141592653589793 / 180.0)
+    two_r = repr(2 * 6371.0088)
+    sl = f"sin((({lat2})-({lat1}))*{p}/2)"
+    so = f"sin((({lon2})-({lon1}))*{p}/2)"
+    return (
+        f"{two_r} * asin(sqrt({sl}*{sl}"
+        f" + cos(({lat1})*{p})*cos(({lat2})*{p})*{so}*{so}))"
+    )
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """Unrounded cosine similarity of two embedding-list columns."""
+    dot = (
+        f"list_reduce([{a}[i]::DOUBLE * {b}[i]::DOUBLE"
+        f" FOR i IN generate_series(1, {dim})], (x, y) -> x + y)"
+    )
+    na = (
+        f"sqrt(list_reduce([{a}[i]::DOUBLE * {a}[i]::DOUBLE"
+        f" FOR i IN generate_series(1, {dim})], (x, y) -> x + y))"
+    )
+    nb = (
+        f"sqrt(list_reduce([{b}[i]::DOUBLE * {b}[i]::DOUBLE"
+        f" FOR i IN generate_series(1, {dim})], (x, y) -> x + y))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
+def _dot_lit_sql(vec: str, coeffs: list[float]) -> str:
+    return " + ".join(f"{vec}[{i + 1}]::DOUBLE*({c!r})" for i, c in enumerate(coeffs))
+
+
+def _lsh_bucket_sql(vec: str, planes: list[list[float]]) -> str:
+    terms = [
+        f"(CASE WHEN ({_dot_lit_sql(vec, p)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_HGT_NAME = (
+    "concat(CASE WHEN la < 0 THEN 'S' ELSE 'N' END, lpad(cast(abs(la) as varchar), 2, '0'), "
+    "CASE WHEN lo < 0 THEN 'W' ELSE 'E' END, lpad(cast(abs(lo) as varchar), 3, '0'), '.hgt')"
+)
 
 
 # shared doc tokenization for the dedup/text oracles
@@ -645,7 +854,7 @@ def oracle_sql() -> dict[str, str]:
         f" / greatest(len(tk_l), 1), 6) AS r_{lang}"
         for lang, lst in sw.items()
     )
-    return {
+    out = {
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(cast(sum(cast(l_quantity as decimal(18,2))) as double), 2) AS sum_qty,
@@ -891,5 +1100,282 @@ def oracle_sql() -> dict[str, str]:
                    cast(1 + h % 3 as int) AS channels
             FROM (SELECT doc_id, text, {_md5num("text")} AS h FROM documents)
             ORDER BY doc_id
+        """,
+    }
+    out["xmlparse_safe"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'S1A' ELSE 'S1B' END AS sensor,
+               CASE WHEN doc_id % 3 = 0 THEN 'IW' WHEN doc_id % 3 = 1 THEN 'EW' ELSE 'SM' END AS acquisition_mode,
+               'GRD' AS product,
+               CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'D' END AS orbit,
+               '201503' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'
+                 || lpad(cast(doc_id % 24 as varchar), 2, '0')
+                 || lpad(cast(doc_id % 60 as varchar), 2, '0')
+                 || lpad(cast((doc_id*7) % 60 as varchar), 2, '0') AS start,
+               '201503' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'
+                 || lpad(cast((doc_id*3) % 24 as varchar), 2, '0')
+                 || lpad(cast((doc_id*5) % 60 as varchar), 2, '0')
+                 || lpad(cast((doc_id*11) % 60 as varchar), 2, '0') AS stop,
+               cast(1000 + doc_id as int) AS orbitNumber_abs,
+               cast(doc_id % 175 + 1 as int) AS orbitNumber_rel,
+               cast(doc_id % 60 + 1 as int) AS cycleNumber,
+               CASE WHEN doc_id % 2 = 0 THEN 'VH/VV' ELSE 'HH/HV' END AS pols,
+               (cast(doc_id % 300 as double) - 150 + 0.5) AS xmin,
+               ((cast(doc_id % 300 as double) - 150 + 0.5) + 3.9) AS xmax,
+               ((cast(doc_id % 120 as double) - 60 + 0.25) - 0.4) AS ymin,
+               ((cast(doc_id % 120 as double) - 60 + 0.25) + 1.5) AS ymax,
+               concat_ws('_',
+                 rpad(CASE WHEN doc_id % 2 = 0 THEN 'S1A' ELSE 'S1B' END, 4, '_'),
+                 rpad(CASE WHEN doc_id % 3 = 0 THEN 'IW' WHEN doc_id % 3 = 1 THEN 'EW' ELSE 'SM' END, 4, '_'),
+                 CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'D' END,
+                 '201503' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'
+                   || lpad(cast(doc_id % 24 as varchar), 2, '0')
+                   || lpad(cast(doc_id % 60 as varchar), 2, '0')
+                   || lpad(cast((doc_id*7) % 60 as varchar), 2, '0')) AS outname_base
+        FROM documents ORDER BY doc_id
+    """
+    out.update(_scene_oracle_sqls())
+    out.update(_ann_oracle_sqls())
+    out.update(_pixel_oracle_sqls())
+    return out
+
+
+def _scene_oracle_sqls() -> dict[str, str]:
+    """Independent SQL implementations of the scene-engine semantics
+    over the parquet handoff written by the query fns (see the
+    scene-query section docstring)."""
+    s_scan = _oracle_scan("scenes")
+    osv_scan = _oracle_scan("osv")
+    sat_west = _rect_sat_pred("ring", *AOI_RECTS["west"])
+    sj_parts = " UNION ALL ".join(
+        f"SELECT doc_id, '{name}' AS aoi_id FROM s WHERE "
+        + _rect_sat_pred("ring", *rect)
+        for name, rect in AOI_RECTS.items()
+    )
+    return {
+        "scene_select_tiles": f"""
+            WITH s AS (SELECT doc_id, xmin, xmax, ymin, ymax, ring FROM {s_scan}),
+            hits AS (SELECT doc_id, xmin, xmax, ymin, ymax FROM s WHERE {sat_west}),
+            lattice AS (
+                SELECT doc_id, la, lo FROM hits,
+                  unnest(generate_series(cast(floor(ymin) as bigint), cast(floor(ymax) as bigint))) t1(la),
+                  unnest(generate_series(cast(floor(xmin) as bigint), cast(floor(xmax) as bigint))) t2(lo)
+            )
+            SELECT {_HGT_NAME} AS tile_id, count(*) AS n_scenes
+            FROM lattice GROUP BY 1
+        """,
+        "scene_spatial_join": f"""
+            WITH s AS (SELECT doc_id, xmin, xmax, ymin, ymax, ring FROM {s_scan})
+            {sj_parts}
+        """,
+        "scene_knn": f"""
+            WITH s AS (SELECT doc_id, (xmin + xmax)/2 AS cx, (ymin + ymax)/2 AS cy FROM {s_scan}),
+            home AS (SELECT doc_id, cx, cy,
+                            cast(floor(cy / 1.0) as bigint) AS la,
+                            cast(floor(cx / 1.0) as bigint) AS lo FROM s),
+            probe AS (SELECT doc_id AS q_id, cx AS q_cx, cy AS q_cy,
+                             (la + dy + 90)*360 + (((lo + dx + 180) % 360) + 360) % 360 AS cell
+                      FROM home, unnest([-1, 0, 1]) t1(dy), unnest([-1, 0, 1]) t2(dx)),
+            idx AS (SELECT doc_id AS n_id, cx AS n_cx, cy AS n_cy,
+                           (la + 90)*360 + (((lo + 180) % 360) + 360) % 360 AS cell FROM home),
+            cand AS (SELECT DISTINCT q_id, n_id, q_cx, q_cy, n_cx, n_cy
+                     FROM probe JOIN idx USING (cell) WHERE q_id <> n_id),
+            d AS (SELECT q_id, n_id,
+                         {_haversine_sql("q_cy", "q_cx", "n_cy", "n_cx")} AS dist
+                  FROM cand)
+            SELECT q_id, n_id, round(dist, 6) AS dist_km, rank FROM (
+                SELECT q_id, n_id, dist,
+                       row_number() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS rank
+                FROM d
+            ) WHERE rank <= 3
+        """,
+        "scene_osv_asof": f"""
+            WITH s AS (SELECT doc_id, start, sensor FROM {s_scan}),
+            o AS (SELECT sensor AS osensor, type, publish, start AS ostart, stop AS ostop, filename
+                  FROM {osv_scan} WHERE type IN ('POE', 'RES')),
+            cand AS (SELECT s.doc_id, o.filename AS osv_filename, o.type AS osv_type,
+                            o.publish AS osv_publish
+                     FROM s LEFT JOIN o
+                       ON s.start >= o.ostart AND s.start <= o.ostop AND o.osensor = s.sensor)
+            SELECT doc_id, osv_filename, osv_type, osv_publish FROM (
+                SELECT doc_id, osv_filename, osv_type, osv_publish,
+                       row_number() OVER (PARTITION BY doc_id ORDER BY
+                           (osv_type IS NULL)::INT,
+                           CASE WHEN osv_type = 'POE' THEN 0 ELSE 1 END,
+                           osv_publish DESC, osv_filename ASC) AS rk
+                FROM cand
+            ) WHERE rk = 1 ORDER BY doc_id
+        """,
+        "scene_sessions": f"""
+            WITH flagged AS (
+                SELECT orbitNumber_rel, tsec,
+                       coalesce((tsec - lag(tsec) OVER (PARTITION BY orbitNumber_rel ORDER BY tsec) > 3600.0)::INT, 0) AS newf
+                FROM {s_scan}
+            ), sess AS (
+                SELECT orbitNumber_rel,
+                       cast(sum(newf) OVER (PARTITION BY orbitNumber_rel ORDER BY tsec
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 as bigint) AS session_id
+                FROM flagged
+            )
+            SELECT orbitNumber_rel, session_id, count(*) AS n
+            FROM sess GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "geolocation_grid": f"""
+            WITH g AS (
+                SELECT doc_id, lines, samples, xmin, xmax, ymin, ymax, gi, gj
+                FROM {s_scan},
+                  unnest(generate_series(0, 1)) t1(gi),
+                  unnest(generate_series(0, 10)) t2(gj)
+            ), pts AS (
+                SELECT doc_id,
+                       cast(trunc((gi/1) * (lines - 1)) as int) AS line,
+                       cast(trunc((gj/10) * (samples - 1)) as int) AS pixel,
+                       xmin + (gj/10) * (xmax - xmin) AS lon,
+                       ymax - (gi/1) * (ymax - ymin) AS lat,
+                       19.0 + (gj/10) * (45.0 - 19.0) AS inc
+                FROM g
+            )
+            SELECT doc_id, count(*) AS n_points,
+                   cast(sum(line) as bigint) AS sum_line,
+                   cast(sum(pixel) as bigint) AS sum_pixel,
+                   min(inc) AS incidence_min, max(inc) AS incidence_max,
+                   cast(sum(cast(round(lon * 1e6, 0) as bigint)) as bigint) AS sum_lon_micro,
+                   cast(sum(cast(round(lat * 1e6, 0) as bigint)) as bigint) AS sum_lat_micro
+            FROM pts GROUP BY doc_id ORDER BY doc_id
+        """,
+        "simhash_pairs": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), hs AS (
+                SELECT doc_id, [{_md5num("t || '#0'")} FOR t IN tk] AS hs FROM toks
+            ), sim AS (
+                SELECT doc_id,
+                       list_reduce(
+                         [CASE WHEN coalesce(list_sum([CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END FOR h IN hs]), 0) > 0
+                               THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                          FOR b IN generate_series(0, 59)],
+                         (a, x) -> a + x) AS sh
+                FROM hs
+            ), blocks AS (
+                SELECT doc_id, sh, i AS blk, (sh >> (i*16)) & 65535 AS val
+                FROM sim, unnest([0, 1, 2, 3]) t(i)
+            ), pairs AS (
+                SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
+                FROM blocks l JOIN blocks r ON l.blk = r.blk AND l.val = r.val AND l.doc_id < r.doc_id
+            )
+            SELECT a, b, cast(bit_count(xor(sha, shb)) as int) AS hamming
+            FROM pairs WHERE bit_count(xor(sha, shb)) <= 3 ORDER BY a, b
+        """,
+    }
+
+
+def _ann_oracle_sqls() -> dict[str, str]:
+    from pyrosar_spark.operators.similarity import _hyperplane
+
+    table_parts = []
+    for t in range(3):
+        planes = [_hyperplane(64, b, 42 + 1000 * t) for b in range(6)]
+        bexpr = _lsh_bucket_sql("embedding", planes)
+        table_parts.append(
+            f"SELECT i.vec_id AS item_id, q.vec_id AS q_id "
+            f"FROM (SELECT vec_id, {bexpr} AS bkt FROM embeddings) i "
+            f"JOIN (SELECT vec_id, {bexpr} AS bkt FROM embeddings WHERE vec_id < 3) q "
+            f"ON i.bkt = q.bkt"
+        )
+    cand_union = " UNION ".join(table_parts)
+    cos_ic = _cos_sql("e.embedding", "c.cvec")
+    return {
+        "ann_lsh": f"""
+            WITH cand AS ({cand_union}),
+            scored AS (
+                SELECT c.q_id, c.item_id,
+                       round({_cos_sql("e.embedding", "qe.embedding")}, 6) AS cosine_sim
+                FROM (SELECT DISTINCT q_id, item_id FROM cand WHERE item_id <> q_id) c
+                JOIN embeddings e ON e.vec_id = c.item_id
+                JOIN embeddings qe ON qe.vec_id = c.q_id
+            )
+            SELECT q_id, item_id, cosine_sim, rank FROM (
+                SELECT q_id, item_id, cosine_sim,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, item_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "ann_ivf": f"""
+            WITH cents AS (
+                SELECT vec_id AS cell, embedding AS cvec FROM embeddings
+                ORDER BY ('0x' || substr(md5(cast(vec_id as varchar) || '#0'), 1, 15))::BIGINT ASC,
+                         vec_id ASC
+                LIMIT 16
+            ), assign AS (
+                SELECT e.vec_id, e.embedding, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id ORDER BY -({cos_ic}) ASC, c.cell ASC) AS rk
+                FROM embeddings e CROSS JOIN cents c
+            ), it AS (
+                SELECT vec_id AS item_id, embedding AS item_vec, cell FROM assign WHERE rk = 1
+            ), qc AS (
+                SELECT vec_id AS q_id, embedding AS q_vec, cell FROM assign
+                WHERE vec_id < 3 AND rk <= 4
+            ), scored AS (
+                SELECT qc.q_id, it.item_id,
+                       round({_cos_sql("it.item_vec", "qc.q_vec")}, 6) AS cosine_sim
+                FROM it JOIN qc USING (cell) WHERE it.item_id <> qc.q_id
+            )
+            SELECT q_id, item_id, cosine_sim, rank FROM (
+                SELECT q_id, item_id, cosine_sim,
+                       row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, item_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+    }
+
+
+def _pixel_oracle_sqls() -> dict[str, str]:
+    bn_scan = _oracle_scan("chips_bn")
+    mt_scan = _oracle_scan("chips_tiles")
+    deg = "(1.0/10)"
+    return {
+        "border_noise": f"""
+            WITH c AS (SELECT media_ref, width, height, seed FROM {bn_scan}),
+            px AS (
+                SELECT media_ref, width, height, i, j,
+                       CASE WHEN j < greatest(width//4, 1)
+                            THEN (0.5 + 1.5*(((seed*65521 + i*4099 + j*7919) % 1000003)/1000003.0)) * 0.1
+                            ELSE 0.5 + 1.5*(((seed*65521 + i*4099 + j*7919) % 1000003)/1000003.0) END AS d,
+                       ((0.002 + (seed % 97)/97.0*0.006) + (((seed % 13) - 6)/13.0*0.0004)*i) + (((seed % 29) - 14)/29.0*0.0002)*j AS nz
+                FROM c,
+                  unnest(generate_series(0, height - 1)) t1(i),
+                  unnest(generate_series(0, width - 1)) t2(j)
+            ), m AS (
+                SELECT media_ref, width, height, i, j, ((d*d - nz*1.0) < 0.5) AS masked FROM px
+            ), rowstat AS (
+                SELECT media_ref, width, height, i,
+                       coalesce(min(CASE WHEN NOT masked THEN j END), 0) AS first_valid,
+                       sum(masked::INT) AS nm
+                FROM m GROUP BY 1, 2, 3, 4
+            )
+            SELECT media_ref, width, height,
+                   cast(max(first_valid) as int) AS first_valid_col,
+                   cast(sum(nm) as bigint) AS n_masked
+            FROM rowstat GROUP BY 1, 2, 3 ORDER BY media_ref
+        """,
+        "chip_mosaic": f"""
+            WITH c AS (SELECT * FROM {mt_scan}),
+            pl AS (
+                SELECT tile_lat, tile_lon, tile_id,
+                       cast(floor(((ulx - shift) - tile_lon)/{deg} + 0.5) as bigint) AS col0,
+                       cast(floor(((tile_lat + 1) - (uly + shift))/{deg} + 0.5) as bigint) AS row0,
+                       greatest(cast(floor(width*xres/{deg} + 0.5) as bigint), 1) AS ncols,
+                       greatest(cast(floor(height*yres/{deg} + 0.5) as bigint), 1) AS nrows
+                FROM (SELECT *, CASE WHEN area_or_point = 'point' THEN {deg}/2.0 ELSE 0.0 END AS shift FROM c)
+            ), cover AS (
+                SELECT DISTINCT tile_lat, tile_lon, r, cc
+                FROM pl, unnest(generate_series(0, 9)) t1(r), unnest(generate_series(0, 9)) t2(cc)
+                WHERE r >= row0 AND r < row0 + nrows AND cc >= col0 AND cc < col0 + ncols
+            )
+            SELECT nc.tile_id, nc.n_chips, coalesce(cv.n_valid_px, 0) AS n_valid_px
+            FROM (SELECT tile_lat, tile_lon, tile_id, count(*) AS n_chips FROM c GROUP BY 1, 2, 3) nc
+            LEFT JOIN (SELECT tile_lat, tile_lon, count(*) AS n_valid_px FROM cover GROUP BY 1, 2) cv
+              USING (tile_lat, tile_lon)
+            ORDER BY nc.tile_id
         """,
     }

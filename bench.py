@@ -71,20 +71,18 @@ def main() -> None:
 
     def flagship() -> None:
         docs = spark.read.parquet(docs_path)
-        scenes = docs_to_scenes(docs).cache()
-        try:
-            hits = select(
-                scenes,
-                mindate="20150101T000000",
-                maxdate="20151231T235959",
-                polarizations=["VV"],
-                aoi_wkt="POLYGON((-180 -60, -60 -60, -60 60, -180 60, -180 -60))",
-                return_value=["doc_id"],
-            )
-            sel = scenes.join(hits, "doc_id", "left_semi")
-            assign_hgt(sel).groupBy("tile_id").count().count()
-        finally:
-            scenes.unpersist()
+        scenes = docs_to_scenes(docs)
+        # select projects the tile-stage columns directly — no doc-id
+        # semi-join (broadcast hit-set build is driver-serial work)
+        sel = select(
+            scenes,
+            mindate="20150101T000000",
+            maxdate="20151231T235959",
+            polarizations=["VV"],
+            aoi_wkt="POLYGON((-180 -60, -60 -60, -60 60, -180 60, -180 -60))",
+            return_value=["doc_id", "xmin", "xmax", "ymin", "ymax"],
+        )
+        assign_hgt(sel).groupBy("tile_id").count().count()
 
     # warm-up JVM + Arrow paths on a small slice, excluded from timing
     docs_to_scenes(generate_documents(spark, 2_000, seed=42)).count()

@@ -327,9 +327,14 @@ def hull_rings_batch(coords: list) -> list[np.ndarray]:
         convex = (cross > 0).all(axis=1)  # strictly convex quad, CCW
         if convex.any():
             good = poly[convex]
-            # rotate so ring starts at (min y, then min x)
-            key = good[..., 1] * 1e9 + good[..., 0]  # lat-major ordering proxy
-            start = np.argmin(key, axis=1)
+            # rotate so ring starts at (min y, then min x) — exact
+            # two-key argmin (a weighted scalar key like y*1e9+x lets x
+            # dominate when two y values differ by < ~3.6e-7°, which
+            # would pick a different start than convex_hull_ring's
+            # lexsort and make the canonical rotation path-dependent)
+            y = good[..., 1]
+            x = np.where(y == y.min(axis=1, keepdims=True), good[..., 0], np.inf)
+            start = np.argmin(x, axis=1)
             g_rows = np.arange(len(good))[:, None]
             shift_idx = (np.arange(4)[None, :] + start[:, None]) % 4
             rolled = good[g_rows, shift_idx]

@@ -96,6 +96,62 @@ def overlap_filter(
     return df.where((F.col(start_col) < window_stop) & (F.col(stop_col) > window_start))
 
 
+def ers_pass_lookup(
+    scenes: DataFrame,
+    passdb: DataFrame,
+    ts_col: str = "start",
+    sensor_col: str = "sensor",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """ERS pass-database lookup with the ERS1→ERS2 fallback cascade
+    (J4, reference ``ERS/auxil.py:118-123``): each scene takes the pass
+    (phase/cycle) whose interval covers its timestamp for its OWN
+    sensor; an ERS1 scene whose own table has a gap falls back to the
+    ERS2 pass covering the same instant (the tandem satellites share
+    the orbit geometry). One broadcast interval join + a preference
+    window — the pass table is tiny (hundreds of phases), the scene
+    side never shuffles.
+
+    ``passdb`` columns: ``sensor, phase, cycle, start, stop``.
+    Output: scene key + ``phase``/``cycle``/``pass_sensor`` (NULL when
+    neither table covers the scene).
+    """
+    p = F.broadcast(
+        passdb.select(
+            F.col("sensor").alias("_p_sensor"),
+            F.col("phase").alias("phase"),
+            F.col("cycle").alias("cycle"),
+            F.col("start").alias("_p_start"),
+            F.col("stop").alias("_p_stop"),
+        )
+    )
+    s = scenes.select(
+        key_col, F.col(ts_col).alias("_t"), F.col(sensor_col).alias("_sensor")
+    )
+    cand = s.join(
+        p,
+        (F.col("_t") >= F.col("_p_start"))
+        & (F.col("_t") <= F.col("_p_stop"))
+        & (
+            (F.col("_p_sensor") == F.col("_sensor"))
+            | ((F.col("_sensor") == "ERS1") & (F.col("_p_sensor") == "ERS2"))
+        ),
+        how="left",
+    )
+    w = W.partitionBy(key_col).orderBy(
+        F.col("_p_sensor").isNull().cast("int"),
+        # own-sensor pass wins; the ERS2 fallback ranks second
+        (F.col("_p_sensor") != F.col("_sensor")).cast("int"),
+        F.col("_p_start").desc(),
+        F.col("phase").asc(),
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(key_col, "phase", "cycle", F.col("_p_sensor").alias("pass_sensor"))
+    )
+
+
 def interval_join(
     events: DataFrame,
     intervals: DataFrame,

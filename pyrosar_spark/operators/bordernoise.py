@@ -100,12 +100,40 @@ def border_from_mask(mask: np.ndarray) -> np.ndarray:
     return np.stack([rows, first_valid], axis=1).astype(np.float64)
 
 
+def portable_payload(
+    seed: int, h: int, w: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(dn, noise) derived from integer arithmetic reproducible in any
+    SQL engine (used by the DuckDB correctness oracle):
+
+    - ``dn[i,j] = 0.5 + 1.5 * (((seed*65521 + i*4099 + j*7919) %
+      1000003) / 1000003.0)``, border band ``j < w//4`` scaled ×0.1;
+    - noise is a plane ``base + ai*i + aj*j`` in the rng LUT's
+      magnitude range (the bilinear-LUT path stays covered by the
+      ``payload='rng'`` goldens in tests/).
+
+    Every op is an exact-rounded IEEE double op evaluated in the same
+    order as the SQL mirror, so the threshold mask is bit-identical.
+    """
+    jj, ii = np.meshgrid(np.arange(w, dtype=np.int64), np.arange(h, dtype=np.int64))
+    u = ((seed * 65521 + ii * 4099 + jj * 7919) % 1000003) / 1000003.0
+    dn = 0.5 + 1.5 * u
+    border_w = max(w // 4, 1)
+    dn[:, :border_w] = dn[:, :border_w] * 0.1
+    base = 0.002 + (seed % 97) / 97.0 * 0.006
+    ai = ((seed % 13) - 6) / 13.0 * 0.0004
+    aj = ((seed % 29) - 14) / 29.0 * 0.0002
+    noise = (base + ai * ii) + aj * jj
+    return dn, noise
+
+
 def remove_border_noise(
     chips: DataFrame,
     lut_points: int = 6,
     scale: float = 1.0,
     threshold: float = 0.5,
     simplify_to: int = 8,
+    payload: str = "rng",
 ) -> DataFrame:
     """Arrow-batched border-noise removal over synthetic chips.
 
@@ -114,7 +142,14 @@ def remove_border_noise(
     raster codecs in this environment) — the numpy pipeline
     (LUT interp → denoise → mask → VW border) is the real, tested
     part, exactly as the reference runs it per block.
+
+    ``payload='portable'`` swaps the numpy-rng payload for the
+    SQL-reproducible :func:`portable_payload` (same downstream mask /
+    border / VW pipeline) so the contract query has an independent
+    DuckDB oracle; ``'rng'`` keeps the bilinear-LUT interpolation path.
     """
+    if payload not in ("rng", "portable"):
+        raise ValueError(f"unknown payload mode: {payload}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,12 +159,17 @@ def remove_border_noise(
             )}
             for row in pdf.itertuples():
                 h, w = int(row.height), int(row.width)
-                rng = np.random.default_rng(int(row.seed))
-                dn = rng.uniform(0.5, 2.0, size=(h, w))
-                border_w = max(w // 4, 1)
-                dn[:, :border_w] *= 0.1  # low-power border band
-                lut = rng.uniform(0.001, 0.01, size=(lut_points, lut_points))
-                _, mask = denoise_chip(dn, lut, scale, threshold)
+                if payload == "portable":
+                    dn, noise = portable_payload(int(row.seed), h, w)
+                    power = dn * dn - noise * scale
+                    mask = power < threshold
+                else:
+                    rng = np.random.default_rng(int(row.seed))
+                    dn = rng.uniform(0.5, 2.0, size=(h, w))
+                    border_w = max(w // 4, 1)
+                    dn[:, :border_w] *= 0.1  # low-power border band
+                    lut = rng.uniform(0.001, 0.01, size=(lut_points, lut_points))
+                    _, mask = denoise_chip(dn, lut, scale, threshold)
                 border = border_from_mask(mask)
                 simplified = vw_simplify(border, simplify_to)
                 out["media_ref"].append(row.media_ref)

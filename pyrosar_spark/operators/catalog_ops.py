@@ -119,7 +119,8 @@ def median_of_array(col: Column) -> Column:
     even = (
         F.element_at(s, mid).cast("double") + F.element_at(s, mid + 1).cast("double")
     ) / 2.0
-    return F.when(n % 2 == 1, odd).otherwise(even)
+    # empty arrays → NULL (element_at(s, 0) would raise at runtime)
+    return F.when(n % 2 == 1, odd).when(n > 0, even)
 
 
 @F.pandas_udf(T.StructType([

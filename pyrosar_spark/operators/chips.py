@@ -104,11 +104,15 @@ def mosaic_tiles(
                 % 30000
             ).astype(np.int16).reshape(row.height, row.width)
             # resample chip into tile pixel grid (nearest; chips are
-            # synthetic so exactness is in the offsets, not the codec)
-            col0 = int(round((ulx - tile_lon) / deg_per_px))
-            row0 = int(round((tile_lat + 1 - uly) / deg_per_px))
-            n_cols = max(int(round(row.width * row.xres / deg_per_px)), 1)
-            n_rows = max(int(round(row.height * row.yres / deg_per_px)), 1)
+            # synthetic so exactness is in the offsets, not the codec).
+            # round-half-UP via floor(x+0.5): engine-portable (Python's
+            # round() is banker's, SQL engines round half away from
+            # zero — floor(x+0.5) is identical everywhere)
+            rhu = lambda x: int(np.floor(x + 0.5))  # noqa: E731
+            col0 = rhu((ulx - tile_lon) / deg_per_px)
+            row0 = rhu((tile_lat + 1 - uly) / deg_per_px)
+            n_cols = max(rhu(row.width * row.xres / deg_per_px), 1)
+            n_rows = max(rhu(row.height * row.yres / deg_per_px), 1)
             src = chip[
                 np.minimum(
                     (np.arange(n_rows) * (row.height / n_rows)).astype(int), row.height - 1

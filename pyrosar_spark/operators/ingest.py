@@ -142,7 +142,11 @@ def scene_meta_text(spans: Column) -> Column:
     return F.when(F.size(metas) > 0, F.element_at(metas, 1).text)
 
 
-def docs_to_scenes(docs: DataFrame, with_geometry: bool = True) -> DataFrame:
+def docs_to_scenes(
+    docs: DataFrame,
+    with_geometry: bool = True,
+    meta_keys: list[str] | None = None,
+) -> DataFrame:
     """Parse the ``scene_meta`` span of each document into a catalog row
     with the reference ``data``-table schema (``archive.py:374-394``):
     polarization flags denormalized to 0/1 ints (``archive.py:476-477``),
@@ -150,6 +154,13 @@ def docs_to_scenes(docs: DataFrame, with_geometry: bool = True) -> DataFrame:
 
     Documents without a parseable scene_meta span are dropped
     (reference: ``identify_many`` drops failures, ``drivers.py:123-186``).
+
+    ``meta_keys`` reproduces the reference's dynamic schema extension
+    (``Archive.insert`` ``custom_fields``, ``archive.py:396-403`` +
+    SURVEY §1.2's ``meta`` map): the listed non-core JSON attributes are
+    lifted into a ``meta: map<string,string>`` column (missing keys →
+    NULL values) that :func:`pyrosar_spark.operators.select.select`
+    accepts as filter kwargs.
     """
     # PERFORMANCE-CRITICAL SHAPE: Catalyst's CollapseProject inlines a
     # projected expression into every downstream reference — a naive
@@ -159,18 +170,18 @@ def docs_to_scenes(docs: DataFrame, with_geometry: bool = True) -> DataFrame:
     # nodes that projection collapse cannot cross, so the span filter
     # and the JSON parse each execute exactly once per row.
     txt = scene_meta_text(F.col("spans"))
+    passthrough = ["_json_txt"] if meta_keys else []
     parsed = (
         docs.select("doc_id", F.explode(F.array(txt)).alias("_meta_text"))
         .where(F.col("_meta_text").isNotNull())
+        .withColumn(
+            "_json_txt", F.expr("substring(_meta_text, instr(_meta_text, '|') + 1)")
+        )
         .select(
             "doc_id",
+            *passthrough,
             F.explode(
-                F.array(
-                    F.from_json(
-                        F.expr("substring(_meta_text, instr(_meta_text, '|') + 1)"),
-                        META_JSON_SCHEMA,
-                    )
-                )
+                F.array(F.from_json(F.col("_json_txt"), META_JSON_SCHEMA))
             ).alias("m"),
         )
         .where(F.col("m").isNotNull() & F.col("m.sensor").isNotNull())
@@ -183,8 +194,17 @@ def docs_to_scenes(docs: DataFrame, with_geometry: bool = True) -> DataFrame:
             F.element_at(c, 1).alias("lon"), F.element_at(c, 2).alias("lat")
         ),
     )
+    meta_cols = []
+    if meta_keys:
+        meta_cols = [
+            F.map_from_arrays(
+                F.array(*[F.lit(k) for k in meta_keys]),
+                F.array(*[F.get_json_object("_json_txt", f"$.{k}") for k in meta_keys]),
+            ).alias("meta")
+        ]
     out = parsed.select(
         "doc_id",
+        *meta_cols,
         F.col("m.sensor").alias("sensor"),
         F.col("m.orbit").alias("orbit"),
         F.col("m.orbitNumber_abs").alias("orbitNumber_abs"),
@@ -212,13 +232,10 @@ def docs_to_scenes(docs: DataFrame, with_geometry: bool = True) -> DataFrame:
         F.array_max(lats).alias("ymax"),
         F.col("m.coordinates").alias("_coords"),
     )
+    cols = SCENE_COLUMNS + (["meta"] if meta_keys else [])
     if not with_geometry:
-        return out.withColumn("ring", F.lit(None).cast("array<double>")).select(
-            *SCENE_COLUMNS
-        )
-    return out.withColumn("ring", footprint_ring_udf(F.col("_coords"))).select(
-        *SCENE_COLUMNS
-    )
+        return out.withColumn("ring", F.lit(None).cast("array<double>")).select(*cols)
+    return out.withColumn("ring", footprint_ring_udf(F.col("_coords"))).select(*cols)
 
 
 def insert_scenes(

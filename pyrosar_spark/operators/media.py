@@ -43,6 +43,22 @@ def fake_decoder(payload: bytes) -> tuple[int, int, int]:
     return width, height, channels
 
 
+def bmp_decoder(payload: bytes) -> tuple[int, int, int]:
+    """Real byte-level decoder for Windows BMP payloads (pure struct —
+    no image libraries needed): validates the ``BM`` magic and reads
+    width / height / bits-per-pixel from the BITMAPINFOHEADER. Proves
+    the ``decoder=`` boundary works with an actual codec, not just the
+    deterministic fake (negative height = top-down BMP, still valid).
+    """
+    import struct as _struct
+
+    if payload[:2] != b"BM" or len(payload) < 30:
+        raise ValueError("not a BMP payload")
+    width, height = _struct.unpack_from("<ii", payload, 18)
+    (bpp,) = _struct.unpack_from("<H", payload, 28)
+    return int(width), abs(int(height)), max(bpp // 8, 1)
+
+
 def decode_metadata(
     media: DataFrame,
     decoder: Callable[[bytes], tuple[int, int, int]] = fake_decoder,

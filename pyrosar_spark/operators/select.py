@@ -99,26 +99,35 @@ def select(
             + ", ".join(invalid)
         )
 
-    # P9: unknown kwargs dropped with a log line (archive.py:997-1001)
+    # P9: unknown kwargs dropped with a log line (archive.py:997-1001);
+    # kwargs matching a `meta` map key (custom_fields, archive.py:396-403)
+    # filter on the map value instead
+    meta_kwargs = {}
     for key in list(kwargs):
         if key not in valid_cols:
-            log.info("ignoring argument not registered in the catalog: %s", key)
-            kwargs.pop(key)
+            if "meta" in valid_cols:
+                meta_kwargs[key] = kwargs.pop(key)
+            else:
+                log.info("ignoring argument not registered in the catalog: %s", key)
+                kwargs.pop(key)
 
-    def eq_or_in(col: str, v) -> Column:
+    def eq_or_in(col: Column, v) -> Column:
         if isinstance(v, (tuple, list)):
-            return F.col(col).cast("string").isin([str(x) for x in v])
-        return F.col(col).cast("string") == str(v)
+            return col.cast("string").isin([str(x) for x in v])
+        return col.cast("string") == str(v)
 
     for key, v in kwargs.items():
         if key == "scene":  # P3: LIKE '%basename%'
             df = df.where(F.col("scene").contains(str(v).split("/")[-1]))
         else:
-            df = df.where(eq_or_in(key, v))
+            df = df.where(eq_or_in(F.col(key), v))
+
+    for key, v in meta_kwargs.items():
+        df = df.where(eq_or_in(F.col("meta").getItem(key), v))
 
     for col, v in (("sensor", sensor), ("product", product), ("acquisition_mode", acquisition_mode)):
         if v:
-            df = df.where(eq_or_in(col, v))
+            df = df.where(eq_or_in(F.col(col), v))
 
     # P4/P5/P6 date range on lexicographic stamps
     if mindate:
@@ -154,21 +163,24 @@ def select(
         )
         df = df.where(_aoi_intersects_udf(ring)(F.col("ring")))
 
-    # P11 processdir anti-filter: outname_base contained in a processed
-    # file name → drop. Anti-join, never per-row filesystem scans.
+    # P11 processdir anti-filter (``archive.py:1092-1095``): the
+    # reference tests ``outname_base in filename`` per file. A contains
+    # predicate is a broadcast nested-loop (O(scenes × files) — fatal at
+    # a 10^8-file manifest), but outname_base has a fixed shape
+    # (padded sensor _ padded mode _ orbit _ stamp), so extract every
+    # well-formed base from each processed filename and anti EQUI-join —
+    # shuffle-partitionable, AQE-broadcastable.
     if processed_names is not None:
-        hits = (
-            df.select("outname_base")
-            .distinct()
-            .join(
-                processed_names,
-                F.col("filename").contains(F.col("outname_base")),
-                how="inner",
+        base_re = "[A-Z0-9][A-Z0-9_]{3}_[A-Z0-9][A-Z0-9_]{3}_[AD]_[0-9]{8}T[0-9]{6}"
+        done = (
+            processed_names.select(
+                F.explode(
+                    F.regexp_extract_all("filename", F.lit(base_re), 0)
+                ).alias("outname_base")
             )
-            .select("outname_base")
             .distinct()
         )
-        df = df.join(F.broadcast(hits), on="outname_base", how="left_anti")
+        df = df.join(done, on="outname_base", how="left_anti")
 
     # P10 projection
     proj = []

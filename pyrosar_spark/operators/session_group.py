@@ -38,6 +38,17 @@ def groupby_time(
     each key group.
     """
     keys = key_cols or []
+    if not keys:
+        # a global orderBy window serializes the whole frame on one
+        # task — parity-only mode for small inputs; loud, not silent
+        import warnings
+
+        warnings.warn(
+            "groupby_time without key_cols uses a single-partition global "
+            "window (reference-parity mode); pass key_cols (e.g. the "
+            "relative orbit) for distributed sessionization",
+            stacklevel=2,
+        )
     w = W.partitionBy(*keys).orderBy(F.col(ts_col).asc()) if keys else W.orderBy(F.col(ts_col).asc())
     gap_exceeded = (
         (F.col(ts_col) - F.lag(ts_col).over(w) > gap_seconds).cast("int")

@@ -168,15 +168,26 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style ANN: centroids = deterministic sample of item vectors
-    (lowest ids), items assigned to nearest centroid, queries probe the
-    ``n_probe`` nearest cells."""
+    """IVF-style ANN: centroids = deterministic hash-sampled item
+    vectors (min md5-portable hash of the id — a uniform pseudo-random
+    sample with no skew, unlike a lowest-id prefix which inherits any
+    id-ordering bias; reproducible in SQL oracles), items assigned to
+    nearest centroid, queries probe the ``n_probe`` nearest cells.
+
+    The ``n_cells``-row collect is driver-side but O(n_cells); at scale
+    the cell id doubles as the Iceberg clustering key so probes prune
+    partitions instead of scanning."""
+    from pyrosar_spark.operators.dedup import portable_hash64
+
     cents = [
         (int(r["item_id"]), [float(x) for x in r["item_vec"]])
         for r in items.select(
             F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("item_vec")
         )
-        .orderBy("item_id")
+        .orderBy(
+            portable_hash64(F.col("item_id").cast("string"), 0, "md5").asc(),
+            F.col("item_id").asc(),
+        )
         .limit(n_cells)
         .collect()
     ]

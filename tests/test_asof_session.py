@@ -106,3 +106,33 @@ def test_groupby_attribute(spark):
         ("S1A", ["a.tif", "b.tif"]),
         ("S1B", ["c.tif"]),
     ]
+
+
+def test_ers_pass_fallback(spark):
+    """J4 golden (reference ERS/auxil.py:118-123): own-sensor pass wins;
+    ERS1 falls back to ERS2 in a gap; ERS2 never falls back; uncovered
+    scenes yield NULL."""
+    from pyrosar_spark.operators.asof import ers_pass_lookup
+
+    passdb = spark.createDataFrame(
+        [
+            ("ERS1", "C", 10, "19950101T000000", "19950601T000000"),
+            ("ERS2", "A", 1, "19950101T000000", "19971231T235959"),
+            ("ERS1", "G", 20, "19970101T000000", "19970601T000000"),
+        ],
+        "sensor string, phase string, cycle int, start string, stop string",
+    )
+    scenes = spark.createDataFrame(
+        [
+            ("s_own", "ERS1", "19950301T120000"),   # own ERS1 phase C
+            ("s_gap", "ERS1", "19961001T120000"),   # ERS1 gap -> ERS2 A
+            ("s_e2", "ERS2", "19950301T120000"),    # ERS2 phase A
+            ("s_none", "ERS1", "19990101T000000"),  # nothing covers
+        ],
+        "doc_id string, sensor string, start string",
+    )
+    out = {r.doc_id: r for r in ers_pass_lookup(scenes, passdb).collect()}
+    assert (out["s_own"].phase, out["s_own"].pass_sensor) == ("C", "ERS1")
+    assert (out["s_gap"].phase, out["s_gap"].pass_sensor) == ("A", "ERS2")
+    assert (out["s_e2"].phase, out["s_e2"].pass_sensor) == ("A", "ERS2")
+    assert out["s_none"].phase is None and out["s_none"].pass_sensor is None

@@ -85,3 +85,38 @@ def test_span_byte_identity(docs, scenes):
         )
     )
     assert bad.count() == 0
+
+
+def test_meta_map_custom_fields(spark):
+    """Dynamic schema extension (reference custom_fields,
+    archive.py:396-403; SURVEY §1.2 meta map): non-core JSON attributes
+    lift into meta map<string,string> and filter via select kwargs."""
+    import json
+
+    from pyrosar_spark.datagen import DOC_SCHEMA, GOLDEN_SCENES, META_KEYS
+    from pyrosar_spark.operators.select import select
+
+    g = GOLDEN_SCENES[0]
+    meta = {k: g[k] for k in META_KEYS}
+    meta.update(
+        polarizations=g["polarizations"], coordinates=g["coordinates"],
+        projection="+proj=longlat", spacing=[10.0, 10.0], scene=g["scene"],
+        station="MTI_", processing_level="LEVEL1",
+    )
+    text = g["scene"] + "|" + json.dumps(meta)
+    docs = spark.createDataFrame(
+        [("d1", [("scene_meta", text, "", 0)])], DOC_SCHEMA
+    )
+    scenes = ingest.docs_to_scenes(
+        docs, meta_keys=["station", "processing_level", "absent"]
+    )
+    row = scenes.first()
+    assert row.meta["station"] == "MTI_"
+    assert row.meta["processing_level"] == "LEVEL1"
+    assert row.meta["absent"] is None
+    assert select(scenes, station="MTI_", return_value=["doc_id"]).count() == 1
+    assert select(scenes, station=["MTI_", "OTHER"], return_value=["doc_id"]).count() == 1
+    assert select(scenes, station="XXX", return_value=["doc_id"]).count() == 0
+    # without a meta column the unknown kwarg is still dropped (P9)
+    plain = ingest.docs_to_scenes(docs)
+    assert select(plain, station="MTI_").count() == 1

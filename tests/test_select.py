@@ -83,6 +83,11 @@ def test_select_processdir_antifilter(spark, golden_scenes):
     assert out.count() == 0
     out2 = select(golden_scenes, processed_names=processed)
     assert out2.count() == 1  # psr2 not processed
+    # scale contract: the anti-filter must be an EQUI-join (hash/merge
+    # joinable on outname_base), never a contains nested-loop
+    plan = out2._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "Contains(" not in plan
 
 
 def test_select_pushdown_plan(golden_scenes):
