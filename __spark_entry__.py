@@ -5,13 +5,17 @@ documents lifted from the corpus → scene catalog → AOI/date select →
 HGT tile assignment.
 
 ``queries()`` / ``oracle_sql()``: one entry per operator family from
-SURVEY.md §2, run by the driver at sf0.01 against DuckDB oracles.
-Hash-dependent expressions use the engine-portable md5→bigint hash
-(identical in Spark and DuckDB); decimal sums are computed in exact
-decimal then rounded so value-hashes match bit-for-bit. Queries with
-no ``oracle_sql`` entry (scene-engine ops whose inputs are synthesized
-interleaved docs, xxhash-based sketches) get the driver's rows-only
-check; their exact-value goldens live in tests/.
+SURVEY.md §2, run by the driver at sf0.01 against DuckDB oracles —
+EVERY query carries an oracle (round 2). Hash-dependent expressions
+use the engine-portable md5→bigint hash (identical in Spark and
+DuckDB); decimal sums are computed in exact decimal then rounded so
+value-hashes match bit-for-bit. Scene-engine queries whose inputs are
+synthesized via xxhash64 (not reproducible in SQL) write their
+deterministic intermediate frames to a parquet handoff that the
+oracle reads back, so the join/PIP/kNN/as-of/session logic is
+verified by an independent SQL implementation over identical bytes;
+the parse stage itself is pinned by reference-parity goldens in
+tests/.
 """
 
 from __future__ import annotations
@@ -50,7 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
     from pyrosar_spark.operators.tiles import assign_hgt
 
     docs = docs_from_corpus(spark, "/root/testdata/sf0.001")
-    scenes = docs_to_scenes(docs)
+    # deferred geometry: hull only for bbox survivors (scale shape)
+    scenes = docs_to_scenes(docs, with_geometry="defer")
     # select projects every column the tile stage needs — no doc-id
     # semi-join (a broadcast build of the hit set is driver-serial work
     # that caps scaling efficiency; measured round 2)
@@ -688,6 +693,36 @@ def q_xmlparse_safe(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_ers_pass(spark, sf):
+    """J4 ERS pass-DB lookup with ERS1→ERS2 fallback over deterministic
+    frames derived from nation (pass table) and customer (scenes)."""
+    from pyrosar_spark.operators.asof import ers_pass_lookup
+
+    fmt = "yyyyMMdd'T'HHmmss"
+    base = F.unix_timestamp(F.to_timestamp(F.lit("1995-01-01 00:00:00")))
+    n = _t(spark, sf, "nation")
+    passdb = n.select(
+        F.when(F.col("n_nationkey") % 2 == 0, "ERS1").otherwise("ERS2").alias("sensor"),
+        F.substring(F.lit("ABCDE"), (F.col("n_nationkey") % 5 + 1).cast("int"), 1).alias("phase"),
+        F.col("n_nationkey").cast("int").alias("cycle"),
+        F.date_format(
+            F.timestamp_seconds(base + (F.col("n_nationkey") % 20) * 30 * 86400), fmt
+        ).alias("start"),
+        F.date_format(
+            F.timestamp_seconds(base + ((F.col("n_nationkey") % 20) * 30 + 45) * 86400), fmt
+        ).alias("stop"),
+    )
+    c = _t(spark, sf, "customer")
+    scenes = c.select(
+        F.col("c_custkey").alias("doc_id"),
+        F.when(F.col("c_custkey") % 4 == 0, "ERS2").otherwise("ERS1").alias("sensor"),
+        F.date_format(
+            F.timestamp_seconds(base + (F.col("c_custkey") % 700) * 86400), fmt
+        ).alias("start"),
+    )
+    return ers_pass_lookup(scenes, passdb).orderBy("doc_id")
+
+
 def q_ann_ivf(spark, sf):
     from pyrosar_spark.operators.similarity import ivf_topk
 
@@ -734,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binparse_fixed": q_binparse_fixed,
         "s1_resolution": q_s1_resolution,
         "xmlparse_safe": q_xmlparse_safe,
+        "ers_pass": q_ers_pass,
     }
 
 
@@ -1133,6 +1169,34 @@ def oracle_sql() -> dict[str, str]:
                    || lpad(cast(doc_id % 60 as varchar), 2, '0')
                    || lpad(cast((doc_id*7) % 60 as varchar), 2, '0')) AS outname_base
         FROM documents ORDER BY doc_id
+    """
+    out["ers_pass"] = """
+        WITH p AS (
+            SELECT CASE WHEN n_nationkey % 2 = 0 THEN 'ERS1' ELSE 'ERS2' END AS psensor,
+                   substr('ABCDE', cast(n_nationkey % 5 + 1 as int), 1) AS phase,
+                   cast(n_nationkey as int) AS cycle,
+                   strftime(TIMESTAMP '1995-01-01 00:00:00' + ((n_nationkey % 20) * 30) * INTERVAL 1 DAY, '%Y%m%dT%H%M%S') AS pstart,
+                   strftime(TIMESTAMP '1995-01-01 00:00:00' + ((n_nationkey % 20) * 30 + 45) * INTERVAL 1 DAY, '%Y%m%dT%H%M%S') AS pstop
+            FROM nation
+        ), s AS (
+            SELECT c_custkey AS doc_id,
+                   CASE WHEN c_custkey % 4 = 0 THEN 'ERS2' ELSE 'ERS1' END AS ssensor,
+                   strftime(TIMESTAMP '1995-01-01 00:00:00' + (c_custkey % 700) * INTERVAL 1 DAY, '%Y%m%dT%H%M%S') AS t
+            FROM customer
+        ), cand AS (
+            SELECT s.doc_id, p.phase, p.cycle, p.psensor AS pass_sensor, p.pstart, s.ssensor
+            FROM s LEFT JOIN p
+              ON s.t >= p.pstart AND s.t <= p.pstop
+             AND (p.psensor = s.ssensor OR (s.ssensor = 'ERS1' AND p.psensor = 'ERS2'))
+        )
+        SELECT doc_id, phase, cycle, pass_sensor FROM (
+            SELECT doc_id, phase, cycle, pass_sensor,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY
+                       (pass_sensor IS NULL)::INT,
+                       (pass_sensor <> ssensor)::INT,
+                       pstart DESC, phase ASC, cycle ASC) AS rk
+            FROM cand
+        ) WHERE rk = 1 ORDER BY doc_id
     """
     out.update(_scene_oracle_sqls())
     out.update(_ann_oracle_sqls())

@@ -71,7 +71,8 @@ def main() -> None:
 
     def flagship() -> None:
         docs = spark.read.parquet(docs_path)
-        scenes = docs_to_scenes(docs)
+        # deferred geometry: the hull UDF runs only on bbox survivors
+        scenes = docs_to_scenes(docs, with_geometry="defer")
         # select projects the tile-stage columns directly — no doc-id
         # semi-join (broadcast hit-set build is driver-serial work)
         sel = select(

@@ -144,6 +144,7 @@ def ers_pass_lookup(
         (F.col("_p_sensor") != F.col("_sensor")).cast("int"),
         F.col("_p_start").desc(),
         F.col("phase").asc(),
+        F.col("cycle").asc(),
     )
     return (
         cand.withColumn("_rk", F.row_number().over(w))

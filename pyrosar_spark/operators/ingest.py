@@ -61,6 +61,23 @@ def footprint_ring_udf(coords: pd.Series) -> pd.Series:
     return pd.Series([None if r is None else list(r.reshape(-1)) for r in rings])
 
 
+@F.pandas_udf(T.ArrayType(T.DoubleType()))
+def ring_from_corners_udf(corners: pd.Series) -> pd.Series:
+    """Hull ring from the ``corners`` struct column — the DEFERRED
+    geometry path: when the catalog is built with
+    ``with_geometry='defer'``, consumers compute the ring only for rows
+    that survived their cheap JVM prefilters (bbox, dates, flags), so
+    the Python stage sees the selectivity-reduced stream instead of
+    every row. At 4→16-core scaling this is the difference between the
+    Arrow workers riding free cores and oversubscribing them (measured
+    round 2)."""
+    coords = [
+        None if c is None else [[p["lon"], p["lat"]] for p in c] for c in corners
+    ]
+    rings = geom.hull_rings_batch(coords)
+    return pd.Series([None if r is None else list(r.reshape(-1)) for r in rings])
+
+
 @F.pandas_udf(T.StringType())
 def ring_to_wkt_udf(ring: pd.Series) -> pd.Series:
     return pd.Series(
@@ -161,6 +178,13 @@ def docs_to_scenes(
     lifted into a ``meta: map<string,string>`` column (missing keys →
     NULL values) that :func:`pyrosar_spark.operators.select.select`
     accepts as filter kwargs.
+
+    ``with_geometry``: ``True`` computes the hull ring per row (full
+    catalog build); ``False`` emits a NULL ring column (schema-stable
+    placeholder); ``'defer'`` omits the ring column entirely —
+    downstream operators derive it from ``corners`` AFTER their JVM
+    prefilters via :func:`ring_from_corners_udf`, keeping the Python
+    stage off the unfiltered row stream (the scalable flagship shape).
     """
     # PERFORMANCE-CRITICAL SHAPE: Catalyst's CollapseProject inlines a
     # projected expression into every downstream reference — a naive
@@ -233,6 +257,8 @@ def docs_to_scenes(
         F.col("m.coordinates").alias("_coords"),
     )
     cols = SCENE_COLUMNS + (["meta"] if meta_keys else [])
+    if with_geometry == "defer":
+        return out.select(*[c for c in cols if c != "ring"])
     if not with_geometry:
         return out.withColumn("ring", F.lit(None).cast("array<double>")).select(*cols)
     return out.withColumn("ring", footprint_ring_udf(F.col("_coords"))).select(*cols)

@@ -150,7 +150,17 @@ def select(
         if pol in ("HH", "VV", "HV", "VH"):
             df = df.where(F.col(pol.lower()) == 1)
 
-    # P8/J1 spatial: bbox prefilter (JVM, prunable) + exact refine (Arrow)
+    # P8/J1 spatial: bbox prefilter (JVM, prunable) + exact refine
+    # (Arrow). On a deferred-geometry catalog (no ring column) the ring
+    # is derived from corners HERE — after every JVM filter — so the
+    # Python stage only sees bbox survivors.
+    def ring_col() -> Column:
+        if "ring" in df.columns:
+            return F.col("ring")
+        from pyrosar_spark.operators.ingest import ring_from_corners_udf
+
+        return ring_from_corners_udf(F.col("corners"))
+
     if aoi_wkt:
         ring = geom.wkt_to_ring(aoi_wkt)
         axmin, aymin = ring.min(axis=0)
@@ -161,7 +171,7 @@ def select(
             & (F.col("ymin") <= float(aymax))
             & (F.col("ymax") >= float(aymin))
         )
-        df = df.where(_aoi_intersects_udf(ring)(F.col("ring")))
+        df = df.where(_aoi_intersects_udf(ring)(ring_col()))
 
     # P11 processdir anti-filter (``archive.py:1092-1095``): the
     # reference tests ``outname_base in filename`` per file. A contains
@@ -188,9 +198,9 @@ def select(
         if v in VIRTUAL_RETURNS:
             proj.append(F.col(VIRTUAL_RETURNS[v]).alias(v))
         elif v == "geometry_wkt":
-            proj.append(ring_to_wkt_udf(F.col("ring")).alias("geometry_wkt"))
+            proj.append(ring_to_wkt_udf(ring_col()).alias("geometry_wkt"))
         elif v == "geometry_wkb":
-            proj.append(ring_to_wkb_udf(F.col("ring")).alias("geometry_wkb"))
+            proj.append(ring_to_wkb_udf(ring_col()).alias("geometry_wkb"))
         else:
             proj.append(F.col(v))
     return df.select(*proj)

@@ -53,5 +53,44 @@ def read_scenes(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).drop("start_day")
 
 
+def insert_scenes_merge_sql(
+    data_table: str = "catalog.sar.scenes",
+    dup_table: str = "catalog.sar.duplicates",
+    staging: str = "staged_scenes",
+) -> list[str]:
+    """The Iceberg transactional form of ``ingest.insert_scenes``
+    (duplicate routing, reference ``archive.py:563-577``): two MERGEs
+    run inside one Iceberg transaction on a real catalog — the sandbox
+    image ships no Iceberg runtime jars (and no network to fetch them),
+    so the statements are emitted here verbatim and the identical
+    semantics are executed by the DataFrame path (window-rank routing,
+    oracle ``dup_routing``). Key order matters: the duplicates MERGE
+    reads the data table BEFORE the insert MERGE changes it.
+    """
+    key = "t.product = s.product AND t.outname_base = s.outname_base"
+    return [
+        # same-key, different-scene arrivals land in duplicates
+        f"""MERGE INTO {dup_table} d
+USING (
+  SELECT s.outname_base, s.scene FROM {staging} s
+  JOIN {data_table} t ON {key}
+  WHERE t.scene <> s.scene
+) src
+ON d.outname_base = src.outname_base AND d.scene = src.scene
+WHEN NOT MATCHED THEN INSERT (outname_base, scene) VALUES (src.outname_base, src.scene)""",
+        # first registration of a key wins; exact re-registrations no-op
+        f"""MERGE INTO {data_table} t
+USING (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY s.product, s.outname_base ORDER BY s.doc_id) AS _rk
+    FROM {staging} s
+  ) WHERE _rk = 1
+) s
+ON {key}
+WHEN NOT MATCHED THEN INSERT *""",
+    ]
+
+
 def write_duplicates(dups: DataFrame, path: str, mode: str = "overwrite") -> None:
     dups.write.mode(mode).parquet(path)

@@ -108,3 +108,17 @@ def test_stored_catalog_pruning(spark, scenes, tmp_path):
     # not automatic (start_day is a physical column) — documents current
     # behavior: file-level min/max stats still prune via PushedFilters.
     assert q.count() >= 0
+
+
+def test_insert_merge_sql_shape():
+    """Iceberg MERGE form of insert_scenes (archive.py:563-577): the
+    duplicates MERGE must read the data table before the insert MERGE,
+    the insert MERGE must dedup the staging batch by ingest sequence."""
+    from pyrosar_spark.sources.catalog import insert_scenes_merge_sql
+
+    dup_sql, ins_sql = insert_scenes_merge_sql()
+    assert "MERGE INTO catalog.sar.duplicates" in dup_sql
+    assert "t.scene <> s.scene" in dup_sql  # exact re-registration no-ops
+    assert "MERGE INTO catalog.sar.scenes" in ins_sql
+    assert "row_number() OVER" in ins_sql and "_rk = 1" in ins_sql
+    assert "WHEN NOT MATCHED THEN INSERT" in ins_sql

@@ -97,3 +97,33 @@ def test_streaming_ingest(spark, docs, tmp_path):
     scenes = spark.read.parquet(out)
     assert scenes.count() > 0
     assert scenes.groupBy("product", "outname_base").count().where("count > 1").count() == 0
+
+
+def test_odc_yaml_emit(scenes):
+    """F20 (datacube_util.py:610-663, 697-717): per-dataset indexing
+    YML columnar emit + ingestion YML tile_size/template."""
+    from pyrosar_spark.operators.odc import odc_indexing_docs, odc_ingestion_yaml
+
+    s1 = scenes.where(F.col("doc_id") == "golden_s1").withColumn(
+        "vv_path", F.concat(F.col("outname_base"), F.lit("_VV_gamma0.tif"))
+    )
+    doc = odc_indexing_docs(s1, {"vv_gamma0": "vv_path"}).first()
+    assert doc.filename == "S1A__IW___A_20150222T170750_dcindex.yml"
+    y = doc.yml
+    assert "id: " in y and "platform:\n  code: SENTINEL_1A" in y
+    assert "    vv_gamma0:\n      path: S1A__IW___A_20150222T170750_VV_gamma0.tif" in y
+    assert "  from_dt: 20150222T170750" in y
+    assert "      x: 8.017178\n      y: 52.183979" in y  # ul corner
+    assert "spatial_reference: EPSG:4326" in y
+    # deterministic id: same row -> same id (uuid4 in the reference;
+    # documented deviation for idempotent re-runs)
+    assert doc.yml == odc_indexing_docs(s1, {"vv_gamma0": "vv_path"}).first().yml
+
+    ing = odc_ingestion_yaml("s1_gamma0_scene", "s1_gamma0_ingested",
+                             resolution=(20.0, -20.0),
+                             chunking={"x": 512, "y": 512, "time": 1})
+    assert "{tile_index[0]}_{tile_index[1]}_{start_time}.nc" in ing
+    assert "x: 10240.0" in ing and "y: -10240.0" in ing
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        odc_ingestion_yaml("same", "same")

@@ -96,3 +96,46 @@ def test_select_pushdown_plan(golden_scenes):
         golden_scenes, sensor="S1A", mindate="20150101T000000"
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "Filter" in plan
+
+
+def test_deferred_geometry_equivalence(docs):
+    """with_geometry='defer' (hull only on bbox survivors — the scale
+    shape) must match the full-geometry catalog row-for-row, including
+    exact WKT output."""
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+
+    aoi = "POLYGON((-180 -60, -60 -60, -60 60, -180 60, -180 -60))"
+    full = docs_to_scenes(docs)
+    deferred = docs_to_scenes(docs, with_geometry="defer")
+    assert "ring" not in deferred.columns
+    a = {r.doc_id: r.geometry_wkt
+         for r in select(full, aoi_wkt=aoi, return_value=["doc_id", "geometry_wkt"]).collect()}
+    b = {r.doc_id: r.geometry_wkt
+         for r in select(deferred, aoi_wkt=aoi, return_value=["doc_id", "geometry_wkt"]).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, tmp_path, scenes):
+    """On a stored catalog, select()'s non-spatial predicates and the
+    bbox prefilter must reach the parquet scan as PushedFilters, and
+    the scan must prune to the projected columns (ReadSchema)."""
+    path = str(tmp_path / "catalog.parquet")
+    scenes.write.parquet(path)
+    # scan-node metadata strings truncate at 100 chars by default,
+    # hiding the tail of the PushedFilters list
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        cat = spark.read.parquet(path)
+        out = select(
+            cat, sensor="S1A", mindate="20150101T000000",
+            aoi_wkt="POLYGON((0 40, 20 40, 20 60, 0 60, 0 40))",
+            return_value=["doc_id", "xmin", "xmax", "ymin", "ymax"],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "PushedFilters:" in plan
+    assert "IsNotNull(sensor)" in plan or "EqualTo(sensor,S1A)" in plan
+    assert "GreaterThanOrEqual(start" in plan
+    # bbox prefilter pushed as range filters on the bbox stats columns
+    assert "LessThanOrEqual(xmin" in plan
