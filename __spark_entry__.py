@@ -723,6 +723,38 @@ def q_ers_pass(spark, sf):
     return ers_pass_lookup(scenes, passdb).orderBy("doc_id")
 
 
+def q_odc_emit(spark, sf):
+    """ODC indexing-YML emit (F20, ``datacube_util.py:610-663``): a
+    deterministic catalog frame derived from documents columns (bbox as
+    DECIMAL(10,6) so the rendered text is byte-identical in any
+    engine), one YAML doc per row, verified by md5 of the full text
+    against an oracle that rebuilds the identical YAML in SQL."""
+    from pyrosar_spark.operators.odc import odc_indexing_docs
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    start = F.concat(F.lit("201503"), two(did % 27 + 1), F.lit("T"),
+                     two(did % 24), two(did % 60), two((did * 7) % 60))
+    stop = F.concat(F.lit("201503"), two(did % 27 + 1), F.lit("T"),
+                    two((did * 3) % 24), two((did * 5) % 60), two((did * 11) % 60))
+    frame = d.select(
+        F.concat(F.lit("S1A__IW___A_"), start).alias("outname_base"),
+        start.alias("start"),
+        stop.alias("stop"),
+        F.expr("cast((doc_id % 300) - 150 + 0.25 as decimal(10,6))").alias("xmin"),
+        F.expr("cast((doc_id % 300) - 150 + 3.75 as decimal(10,6))").alias("xmax"),
+        F.expr("cast((doc_id % 120) - 60 + 0.5 as decimal(10,6))").alias("ymin"),
+        F.expr("cast((doc_id % 120) - 60 + 2.25 as decimal(10,6))").alias("ymax"),
+        F.concat(F.lit("S1A__IW___A_"), start, F.lit("_VV_gamma0.tif")).alias("vv_path"),
+        did.alias("doc_id"),
+    )
+    out = odc_indexing_docs(frame, {"vv_gamma0": "vv_path"}, passthrough=["doc_id"])
+    return out.select(
+        "doc_id", "identifier", "filename", F.md5("yml").alias("yml_md5")
+    ).orderBy("doc_id")
+
+
 def q_ann_ivf(spark, sf):
     from pyrosar_spark.operators.similarity import ivf_topk
 
@@ -770,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_resolution": q_s1_resolution,
         "xmlparse_safe": q_xmlparse_safe,
         "ers_pass": q_ers_pass,
+        "odc_emit": q_odc_emit,
     }
 
 
@@ -1201,6 +1234,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_scene_oracle_sqls())
     out.update(_ann_oracle_sqls())
     out.update(_pixel_oracle_sqls())
+    out.update(_odc_oracle_sqls())
     return out
 
 
@@ -1389,6 +1423,69 @@ def _ann_oracle_sqls() -> dict[str, str]:
                        row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, item_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+    }
+
+
+def _odc_oracle_sqls() -> dict[str, str]:
+    """Rebuild the odc_indexing_docs YAML byte-for-byte in SQL and md5
+    it (the operator template itself is pinned by goldens in tests/)."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    start_e = (
+        "'201503' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'"
+        " || lpad(cast(doc_id % 24 as varchar), 2, '0')"
+        " || lpad(cast(doc_id % 60 as varchar), 2, '0')"
+        " || lpad(cast((doc_id*7) % 60 as varchar), 2, '0')"
+    )
+    stop_e = (
+        "'201503' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'"
+        " || lpad(cast((doc_id*3) % 24 as varchar), 2, '0')"
+        " || lpad(cast((doc_id*5) % 60 as varchar), 2, '0')"
+        " || lpad(cast((doc_id*11) % 60 as varchar), 2, '0')"
+    )
+    xmin = "cast((doc_id % 300) - 150 + 0.25 as decimal(10,6))"
+    xmax = "cast((doc_id % 300) - 150 + 3.75 as decimal(10,6))"
+    ymin = "cast((doc_id % 120) - 60 + 0.5 as decimal(10,6))"
+    ymax = "cast((doc_id % 120) - 60 + 2.25 as decimal(10,6))"
+
+    def corner(x: str, y: str) -> list[str]:
+        return [lit("      x: "), x, lit("\n      y: "), y, lit("\n")]
+
+    corners4 = (
+        [lit("    ul:\n"), *corner(xmin, ymax), lit("    ur:\n"), *corner(xmax, ymax),
+         lit("    ll:\n"), *corner(xmin, ymin), lit("    lr:\n"), *corner(xmax, ymin)]
+    )
+    parts: list[str] = [
+        lit("id: "), "md5(ident)", lit("\n"),
+        lit("image:\n  bands:\n    vv_gamma0:\n      path: "),
+        "ident || '_VV_gamma0.tif'", lit("\n"),
+        lit("platform:\n  code: SENTINEL_1A\n"),
+        lit("instrument:\n  name: SAR\n"),
+        lit("format:\n  name: GeoTIFF\n"),
+        lit("grid_spatial:\n  projection:\n    geo_ref_points:\n"),
+        *corners4,
+        lit("    spatial_reference: EPSG:4326\n"),
+        lit("extent:\n  coord:\n"),
+        *corners4,
+        lit("  from_dt: "), "strt", lit("\n"),
+        lit("  to_dt: "), stop_e, lit("\n"),
+        lit("product_type: gamma0\n"),
+        lit("lineage:\n  source_datasets: {}\n"),
+    ]
+    yml = " || ".join(parts)
+    return {
+        "odc_emit": f"""
+            WITH base AS (
+                SELECT doc_id, 'S1A__IW___A_' || {start_e} AS ident, {start_e} AS strt
+                FROM documents
+            )
+            SELECT doc_id, ident AS identifier,
+                   ident || '_dcindex.yml' AS filename,
+                   md5({yml}) AS yml_md5
+            FROM base ORDER BY doc_id
         """,
     }
 

@@ -72,7 +72,7 @@ def main() -> None:
     def flagship() -> None:
         docs = spark.read.parquet(docs_path)
         # deferred geometry: the hull UDF runs only on bbox survivors
-        scenes = docs_to_scenes(docs, with_geometry="defer")
+        scenes = docs_to_scenes(docs, with_geometry="defer", columns=["doc_id", "start", "stop", "vv", "corners", "xmin", "xmax", "ymin", "ymax"])
         # select projects the tile-stage columns directly — no doc-id
         # semi-join (broadcast hit-set build is driver-serial work)
         sel = select(

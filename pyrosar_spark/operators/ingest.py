@@ -159,10 +159,41 @@ def scene_meta_text(spans: Column) -> Column:
     return F.when(F.size(metas) > 0, F.element_at(metas, 1).text)
 
 
+# meta-JSON field types in canonical order (must mirror META_JSON_SCHEMA)
+_META_FIELD_TYPES = [
+    ("sensor", "string"), ("acquisition_mode", "string"), ("product", "string"),
+    ("orbit", "string"), ("start", "string"), ("stop", "string"),
+    ("orbitNumber_abs", "int"), ("orbitNumber_rel", "int"),
+    ("cycleNumber", "int"), ("frameNumber", "int"),
+    ("samples", "int"), ("lines", "int"),
+    ("polarizations", "array<string>"), ("coordinates", "array<array<double>>"),
+    ("projection", "string"), ("spacing", "array<double>"), ("scene", "string"),
+]
+
+# catalog column → meta-JSON fields it needs (schema pruning map; the
+# Generate barrier that pins from_json to one evaluation also blocks
+# Catalyst's own json-schema pruning, so the pruning is done here)
+_COLUMN_FIELDS: dict[str, tuple[str, ...]] = {
+    "doc_id": (),
+    "sensor": ("sensor",), "orbit": ("orbit",),
+    "orbitNumber_abs": ("orbitNumber_abs",), "orbitNumber_rel": ("orbitNumber_rel",),
+    "cycleNumber": ("cycleNumber",), "frameNumber": ("frameNumber",),
+    "acquisition_mode": ("acquisition_mode",), "start": ("start",),
+    "stop": ("stop",), "product": ("product",), "samples": ("samples",),
+    "lines": ("lines",), "scene": ("scene",),
+    "outname_base": ("sensor", "acquisition_mode", "orbit", "start"),
+    "hh": ("polarizations",), "vv": ("polarizations",),
+    "hv": ("polarizations",), "vh": ("polarizations",),
+    "corners": ("coordinates",), "xmin": ("coordinates",), "xmax": ("coordinates",),
+    "ymin": ("coordinates",), "ymax": ("coordinates",), "ring": ("coordinates",),
+}
+
+
 def docs_to_scenes(
     docs: DataFrame,
     with_geometry: bool = True,
     meta_keys: list[str] | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Parse the ``scene_meta`` span of each document into a catalog row
     with the reference ``data``-table schema (``archive.py:374-394``):
@@ -185,6 +216,13 @@ def docs_to_scenes(
     downstream operators derive it from ``corners`` AFTER their JVM
     prefilters via :func:`ring_from_corners_udf`, keeping the Python
     stage off the unfiltered row stream (the scalable flagship shape).
+
+    ``columns`` prunes BOTH the output projection and the ``from_json``
+    parse schema to the fields those columns need — the reader-side
+    analog of parquet column pruning (Catalyst's own json pruning
+    cannot cross the Generate barrier that pins the parse to one
+    evaluation per row). A query that only filters dates + bbox parses
+    4 of the 17 metadata fields instead of allocating all of them.
     """
     # PERFORMANCE-CRITICAL SHAPE: Catalyst's CollapseProject inlines a
     # projected expression into every downstream reference — a naive
@@ -193,6 +231,19 @@ def docs_to_scenes(
     # bound (measured). The explode(array(..)) wrappers insert Generate
     # nodes that projection collapse cannot cross, so the span filter
     # and the JSON parse each execute exactly once per row.
+    if columns is None:
+        want = list(SCENE_COLUMNS)
+    else:
+        unknown = [c for c in columns if c not in _COLUMN_FIELDS]
+        if unknown:
+            raise ValueError(f"unknown catalog columns: {sorted(unknown)}")
+        wanted = set(columns) | {"doc_id"}
+        want = [c for c in SCENE_COLUMNS if c in wanted]
+    # sensor always parses: it is the validity sentinel for "document
+    # has a parseable scene_meta span" (identify_many drop semantics)
+    needed = {"sensor"} | {f for c in want for f in _COLUMN_FIELDS[c]}
+    schema = ", ".join(f"{n} {t}" for n, t in _META_FIELD_TYPES if n in needed)
+
     txt = scene_meta_text(F.col("spans"))
     passthrough = ["_json_txt"] if meta_keys else []
     parsed = (
@@ -204,20 +255,36 @@ def docs_to_scenes(
         .select(
             "doc_id",
             *passthrough,
-            F.explode(
-                F.array(F.from_json(F.col("_json_txt"), META_JSON_SCHEMA))
-            ).alias("m"),
+            F.explode(F.array(F.from_json(F.col("_json_txt"), schema))).alias("m"),
         )
         .where(F.col("m").isNotNull() & F.col("m.sensor").isNotNull())
     )
     lons = F.transform(F.col("m.coordinates"), lambda c: F.element_at(c, 1))
     lats = F.transform(F.col("m.coordinates"), lambda c: F.element_at(c, 2))
-    corners = F.transform(
+    exprs: dict[str, Column] = {"doc_id": F.col("doc_id")}
+    for name in ("sensor", "orbit", "orbitNumber_abs", "orbitNumber_rel",
+                 "cycleNumber", "frameNumber", "acquisition_mode", "start",
+                 "stop", "product", "samples", "lines", "scene"):
+        exprs[name] = F.col(f"m.{name}").alias(name)
+    exprs["outname_base"] = outname_base_col(
+        F.col("m.sensor"), F.col("m.acquisition_mode"), F.col("m.orbit"),
+        F.col("m.start"),
+    ).alias("outname_base")
+    for p in POL_FLAGS:
+        exprs[p] = (
+            F.array_contains(F.col("m.polarizations"), p.upper()).cast("int").alias(p)
+        )
+    exprs["corners"] = F.transform(
         F.col("m.coordinates"),
         lambda c: F.struct(
             F.element_at(c, 1).alias("lon"), F.element_at(c, 2).alias("lat")
         ),
-    )
+    ).alias("corners")
+    exprs["xmin"] = F.array_min(lons).alias("xmin")
+    exprs["xmax"] = F.array_max(lons).alias("xmax")
+    exprs["ymin"] = F.array_min(lats).alias("ymin")
+    exprs["ymax"] = F.array_max(lats).alias("ymax")
+
     meta_cols = []
     if meta_keys:
         meta_cols = [
@@ -226,38 +293,16 @@ def docs_to_scenes(
                 F.array(*[F.get_json_object("_json_txt", f"$.{k}") for k in meta_keys]),
             ).alias("meta")
         ]
-    out = parsed.select(
-        "doc_id",
-        *meta_cols,
-        F.col("m.sensor").alias("sensor"),
-        F.col("m.orbit").alias("orbit"),
-        F.col("m.orbitNumber_abs").alias("orbitNumber_abs"),
-        F.col("m.orbitNumber_rel").alias("orbitNumber_rel"),
-        F.col("m.cycleNumber").alias("cycleNumber"),
-        F.col("m.frameNumber").alias("frameNumber"),
-        F.col("m.acquisition_mode").alias("acquisition_mode"),
-        F.col("m.start").alias("start"),
-        F.col("m.stop").alias("stop"),
-        F.col("m.product").alias("product"),
-        F.col("m.samples").alias("samples"),
-        F.col("m.lines").alias("lines"),
-        outname_base_col(
-            F.col("m.sensor"), F.col("m.acquisition_mode"), F.col("m.orbit"), F.col("m.start")
-        ).alias("outname_base"),
-        F.col("m.scene").alias("scene"),
-        *[
-            F.array_contains(F.col("m.polarizations"), p.upper()).cast("int").alias(p)
-            for p in POL_FLAGS
-        ],
-        corners.alias("corners"),
-        F.array_min(lons).alias("xmin"),
-        F.array_max(lons).alias("xmax"),
-        F.array_min(lats).alias("ymin"),
-        F.array_max(lats).alias("ymax"),
-        F.col("m.coordinates").alias("_coords"),
+    geom_cols = (
+        [F.col("m.coordinates").alias("_coords")]
+        if with_geometry is True and "ring" in want
+        else []
     )
-    cols = SCENE_COLUMNS + (["meta"] if meta_keys else [])
-    if with_geometry == "defer":
+    out = parsed.select(
+        *[exprs[c] for c in want if c != "ring"], *meta_cols, *geom_cols
+    )
+    cols = [c for c in want] + (["meta"] if meta_keys else [])
+    if with_geometry == "defer" or "ring" not in want:
         return out.select(*[c for c in cols if c != "ring"])
     if not with_geometry:
         return out.withColumn("ring", F.lit(None).cast("array<double>")).select(*cols)

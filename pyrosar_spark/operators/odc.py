@@ -40,6 +40,7 @@ def odc_indexing_docs(
     product_type: str = "gamma0",
     crs: str = "EPSG:4326",
     id_col: str = "outname_base",
+    passthrough: list[str] | None = None,
 ) -> DataFrame:
     """One ODC indexing YML text per catalog row (columnar emit).
 
@@ -80,6 +81,7 @@ def odc_indexing_docs(
         F.lit("lineage:\n  source_datasets: {}\n"),
     )
     return scenes.select(
+        *(passthrough or []),
         ident.alias("identifier"),
         F.concat(ident, F.lit("_dcindex.yml")).alias("filename"),
         yml.alias("yml"),

@@ -127,3 +127,41 @@ def test_odc_yaml_emit(scenes):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         odc_ingestion_yaml("same", "same")
+
+
+def test_stateful_dedup_stream_resumes_across_runs(spark, tmp_path):
+    """applyInPandasWithState dedup: one row per key across
+    micro-batches AND across query RESTARTS from the same checkpoint —
+    the streaming form of first-registration-wins (archive.py:563-599)
+    plus the north rule's mid-run resumability."""
+    from pyrosar_spark.streaming.stateful import dedup_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("k string, v long").parquet(src)
+        q = (
+            dedup_stream(stream, ["k"])
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    spark.createDataFrame([("A", 1), ("B", 2), ("A", 3)], "k string, v long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    first = {r.k for r in spark.read.parquet(out).collect()}
+    assert first == {"A", "B"}
+
+    # second RUN, same checkpoint: B is already in state -> only C emits
+    spark.createDataFrame([("B", 9), ("C", 4)], "k string, v long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert {r.k for r in rows} == {"A", "B", "C"}
+    assert len(rows) == 3  # B emitted exactly once across runs
