@@ -763,6 +763,31 @@ def q_ann_ivf(spark, sf):
     return ivf_topk(e, q, k=5, n_cells=16, n_probe=4)
 
 
+def q_token_bpe(spark, sf):
+    from pyrosar_spark.operators.textstats import token_count_bpe
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count_bpe(F.col("text"))).alias("total_pieces"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_embedding_dup_pairs(spark, sf):
+    """Embedding-cosine near-dup dedup (LSH-bucketed, never all-pairs);
+    oracle mirrors the hyperplane buckets literally."""
+    from pyrosar_spark.operators.similarity import cosine_dup_pairs
+
+    e = _t(spark, sf, "embeddings")
+    return cosine_dup_pairs(
+        e, threshold=0.4, n_bits=6, n_tables=3, dim=64, seed=42
+    ).orderBy("a", "b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -803,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xmlparse_safe": q_xmlparse_safe,
         "ers_pass": q_ers_pass,
         "odc_emit": q_odc_emit,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
+        "token_bpe": q_token_bpe,
     }
 
 
@@ -1076,6 +1103,11 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs JOIN sh sa ON sa.doc_id = a JOIN sh sb ON sb.doc_id = b
             WHERE round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
                         / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.2
+        """,
+        "token_bpe": r"""
+            SELECT source, count(*) AS n_docs,
+                   cast(sum(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'))) as bigint) AS total_pieces
+            FROM documents GROUP BY source ORDER BY source
         """,
         "token_stats": """
             SELECT lang, count(*) AS n_docs,
@@ -1381,8 +1413,30 @@ def _ann_oracle_sqls() -> dict[str, str]:
             f"ON i.bkt = q.bkt"
         )
     cand_union = " UNION ".join(table_parts)
+    dup_parts = []
+    for t in range(3):
+        planes = [_hyperplane(64, b, 42 + 1000 * t) for b in range(6)]
+        bexpr = _lsh_bucket_sql("embedding", planes)
+        dup_parts.append(
+            f"SELECT l.vec_id AS a, r.vec_id AS b "
+            f"FROM (SELECT vec_id, embedding, {bexpr} AS bkt FROM embeddings) l "
+            f"JOIN (SELECT vec_id, embedding, {bexpr} AS bkt FROM embeddings) r "
+            f"ON l.bkt = r.bkt AND l.vec_id < r.vec_id"
+        )
+    dup_union = " UNION ".join(dup_parts)
     cos_ic = _cos_sql("e.embedding", "c.cvec")
     return {
+        "embedding_dup_pairs": f"""
+            WITH cand AS ({dup_union}),
+            scored AS (
+                SELECT c.a, c.b,
+                       round({_cos_sql("ea.embedding", "eb.embedding")}, 6) AS cosine_sim
+                FROM cand c
+                JOIN embeddings ea ON ea.vec_id = c.a
+                JOIN embeddings eb ON eb.vec_id = c.b
+            )
+            SELECT a, b, cosine_sim FROM scored WHERE cosine_sim >= 0.4 ORDER BY a, b
+        """,
         "ann_lsh": f"""
             WITH cand AS ({cand_union}),
             scored AS (

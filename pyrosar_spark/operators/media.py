@@ -96,3 +96,55 @@ def resolve_media_refs(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
     payload = F.encode(F.concat(F.lit("payload:"), F.col("media_ref")), "utf-8")
     return chips.withColumn("payload", payload)
+
+
+def media_ref_to_path(ref: "F.Column", base_dir: str) -> "F.Column":
+    """``scheme://bucket/key`` → ``{base_dir}/bucket/key`` (the local
+    mount / FUSE view of the object store)."""
+    return F.concat(
+        F.lit(base_dir.rstrip("/") + "/"),
+        F.regexp_replace(ref, r"^[a-z0-9+.-]+://", ""),
+    )
+
+
+def fetch_payloads(
+    refs: DataFrame,
+    base_dir: str,
+    ref_col: str = "media_ref",
+    on_missing: str = "null",
+) -> DataFrame:
+    """REAL object-store fetch for media refs (S3 closure): resolve each
+    ``media_ref`` against a store root and read the bytes inside the
+    Arrow batch — executor-side I/O, one open per ref, no driver
+    involvement (the reference opens scene archives per path the same
+    way, ``drivers.py:429-477``; here the store is any mounted
+    filesystem — S3/GCS arrive via their FUSE or ``s3a://`` mounts).
+
+    ``on_missing``: ``'null'`` yields a NULL payload, ``'error'``
+    raises — mirroring ``identify``'s missing-file behavior.
+    """
+    if on_missing not in ("null", "error"):
+        raise ValueError(f"unknown on_missing mode: {on_missing}")
+    out_schema = refs.withColumn("payload", F.lit(None).cast("binary")).schema
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import os
+        import re
+
+        root = base_dir.rstrip("/")
+        for pdf in batches:
+            payloads = []
+            for ref in pdf[ref_col]:
+                path = os.path.join(root, re.sub(r"^[a-z0-9+.-]+://", "", str(ref)))
+                try:
+                    with open(path, "rb") as fh:
+                        payloads.append(fh.read())
+                except FileNotFoundError:
+                    if on_missing == "error":
+                        raise
+                    payloads.append(None)
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return refs.mapInPandas(run, out_schema)

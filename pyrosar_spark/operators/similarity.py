@@ -159,6 +159,44 @@ def lsh_topk(
     )
 
 
+def cosine_dup_pairs(
+    items: DataFrame,
+    threshold: float = 0.9,
+    n_bits: int = 6,
+    n_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-family member
+    over the vector column): random-hyperplane LSH buckets per table,
+    within-bucket self-join (a < b), union across tables, exact cosine
+    ≥ ``threshold`` verify. Never all-pairs — the shuffle is an
+    equi-join on the bucket id; at 10^12 rows the bucket id is the
+    Iceberg clustering key so each self-join reads co-located files.
+    Recall is the standard LSH trade (P[collide] = (1-θ/π)^n_bits per
+    table); raise ``n_tables`` to tighten it.
+    """
+    it = items.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("_vec")
+    )
+    cands = None
+    for t in range(n_tables):
+        planes = [_hyperplane(dim, b, seed + 1000 * t) for b in range(n_bits)]
+        b = it.withColumn("_bucket", lsh_bucket(F.col("_vec"), planes))
+        left = b.select(F.col("_id").alias("a"), F.col("_vec").alias("va"), "_bucket")
+        right = b.select(F.col("_id").alias("b"), F.col("_vec").alias("vb"), "_bucket")
+        c = left.join(right, on="_bucket").where(F.col("a") < F.col("b")).drop("_bucket")
+        cands = c if cands is None else cands.unionByName(c)
+    return (
+        cands.dropDuplicates(["a", "b"])
+        .withColumn("cosine_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cosine_sim") >= threshold)
+        .select("a", "b", "cosine_sim")
+    )
+
+
 def ivf_topk(
     items: DataFrame,
     queries: DataFrame,

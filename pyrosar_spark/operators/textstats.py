@@ -27,13 +27,17 @@ def token_count_ws(text: Column) -> Column:
     return F.size(tokens_ws(text))
 
 
+# GPT2-style pre-tokenizer pieces, simplified to ASCII classes with no
+# lookaround — the same pattern runs identically under Java regex
+# (Spark) and RE2 (DuckDB), so the count is oracle-portable
+BPE_PIECE_RE = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
 def token_count_bpe(text: Column) -> Column:
-    """BPE-ish sub-word proxy: count word chunks + standalone
-    punctuation, the usual ~chars/4 heuristic's exact cousin."""
-    pieces = F.filter(
-        F.split(text, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"), lambda t: t.rlike(r"\S")
-    )
-    return F.size(pieces)
+    """BPE-ish sub-word proxy: count pre-tokenizer pieces (letter runs,
+    digit runs, punctuation runs, each with optional leading space) —
+    the usual ~chars/4 heuristic's exact cousin."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0))
 
 
 def char_stats(text: Column) -> dict[str, Column]:

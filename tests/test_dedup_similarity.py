@@ -130,3 +130,21 @@ def test_fingerprint_modes(spark):
     a = df.select(fingerprint64(F.col("text"), 8, "md5").alias("f")).first().f
     b = df.select(fingerprint64(F.col("text"), 8, "xxhash64").alias("f")).first().f
     assert isinstance(a, int) and isinstance(b, int) and a != b
+
+
+def test_cosine_dup_pairs_planted(spark):
+    import numpy as np
+
+    from pyrosar_spark.operators.similarity import cosine_dup_pairs
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    base[7] = base[3] + 0.005  # planted near-duplicate
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.a, r.b): r.cosine_sim
+             for r in cosine_dup_pairs(df, threshold=0.99, n_bits=4, n_tables=3,
+                                       dim=16, seed=7).collect()}
+    assert (3, 7) in pairs and pairs[(3, 7)] > 0.999

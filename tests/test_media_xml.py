@@ -91,3 +91,37 @@ def test_safe_manifest_parse_golden(spark):
         "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
     )
     assert xml_docs_to_scenes(no_xml).count() == 0
+
+
+def test_fetch_payloads_from_store(spark, tmp_path):
+    """S3 closure: media_refs resolved against a mounted store root and
+    read executor-side; missing refs -> NULL payload (or error mode)."""
+    from pyrosar_spark.operators.media import bmp_decoder, decode_metadata, fetch_payloads
+
+    store = tmp_path / "store" / "chips"
+    store.mkdir(parents=True)
+    (store / "c0.bmp").write_bytes(_bmp_bytes(16, 8))
+    (store / "c1.bmp").write_bytes(_bmp_bytes(64, 32))
+    refs = spark.createDataFrame(
+        [
+            ("d0", "chip://chips/c0.bmp"),
+            ("d1", "chip://chips/c1.bmp"),
+            ("d2", "chip://chips/absent.bmp"),
+        ],
+        "doc_id string, media_ref string",
+    )
+    fetched = fetch_payloads(refs, str(tmp_path / "store"))
+    rows = {r.doc_id: r.payload for r in fetched.collect()}
+    assert bytes(rows["d0"])[:2] == b"BM" and rows["d2"] is None
+    # fetched bytes flow straight into the decode stage
+    meta = {
+        r.doc_id: r
+        for r in decode_metadata(
+            fetched.where("payload is not null"), decoder=bmp_decoder
+        ).collect()
+    }
+    assert (meta["d0"].width, meta["d0"].height) == (16, 8)
+    assert (meta["d1"].width, meta["d1"].height) == (64, 32)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="absent|FileNotFound|PYTHON"):
+        fetch_payloads(refs, str(tmp_path / "store"), on_missing="error").collect()
