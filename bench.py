@@ -35,6 +35,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     sf = _sf_from_dir(sf_dir)
+    # flagship size: 2M docs/sf-unit (sf0.1 → 200k). Deliberately SHORT:
+    # this host exhibits multi-minute exogenous stall phases (load avg
+    # >15 with no Spark running), and a one-shot bench must not be
+    # hostage to them. The steady-state throughput evidence (689k
+    # docs/s at 16 cores, min-of-reps protocol) lives in
+    # BENCH/BASELINE.md; this number is a smoke-level latency figure.
     n_docs = int(
         os.environ.get("SPARK_GRAFT_NDOCS", max(int(sf * 2_000_000), 10_000))
     )

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
+        # file-split bin-packing: the 128MB default packs a many-small-
+        # file table into a handful of scan tasks (measured: a 2M-doc
+        # table read as ~8 tasks left 24 of 32 cores idle and slowed the
+        # flagship 5x). 16MB keeps >=4 task waves per core at every
+        # size this sandbox runs; a real cluster sizes this to
+        # total-cores x waves as usual.
+        .config("spark.sql.files.maxPartitionBytes", "16777216")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.host", "127.0.0.1")
