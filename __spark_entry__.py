@@ -846,6 +846,38 @@ def _md5num(x: str) -> str:
     return _MD5NUM.format(X=x)
 
 
+def _ensure_handoffs(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Insurance for oracle-before-query execution order: if the
+    parquet handoffs the scene oracles read are missing, materialize
+    them at the documented correctness sf. When the driver runs the
+    Spark query first (the normal order) each query fn has already
+    (over)written them and this is a no-op."""
+    import os
+
+    needed = ["scenes", "osv", "chips_bn", "chips_tiles"]
+    if all(
+        os.path.exists(f"{_ORACLE_DIR}/{n}.parquet/_SUCCESS") for n in needed
+    ):
+        return
+    from pyrosar_spark.session import get_spark
+
+    spark = get_spark("oracle_handoff")
+    _scenes_handoff(spark, sf_dir)
+    from pyrosar_spark.datagen import docs_from_corpus, generate_osv
+    from pyrosar_spark.operators.chips import assign_chip_tiles, synthetic_chips
+
+    _handoff(generate_osv(spark, 2000, seed=42), "osv")
+    chips = synthetic_chips(docs_from_corpus(spark, sf_dir))
+    _handoff(chips.select("media_ref", "width", "height", "seed"), "chips_bn")
+    _handoff(
+        assign_chip_tiles(chips).select(
+            "media_ref", "tile_lat", "tile_lon", "tile_id", "ulx", "uly",
+            "xres", "yres", "width", "height", "area_or_point", "seed",
+        ),
+        "chips_tiles",
+    )
+
+
 def _mask_sql_list(n_hashes: int) -> str:
     """SQL list literal of the engine's deterministic minhash XOR masks."""
     from pyrosar_spark.operators.dedup import minhash_masks
@@ -932,6 +964,7 @@ _SHINGLES = (
 
 
 def oracle_sql() -> dict[str, str]:
+    _ensure_handoffs()
     qual = """
       least(cast(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) as double) / 50.0, 1.0) * 0.4
       + round(cast(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) as double) / greatest(length(text), 1), 6) * 0.3
