@@ -148,3 +148,19 @@ def test_cosine_dup_pairs_planted(spark):
              for r in cosine_dup_pairs(df, threshold=0.99, n_bits=4, n_tables=3,
                                        dim=16, seed=7).collect()}
     assert (3, 7) in pairs and pairs[(3, 7)] > 0.999
+
+
+def test_simhash_wide_radius_sound_config(docs_df):
+    """For hamming radii beyond 3, raising n_blocks keeps the
+    pigeonhole recall guarantee exact (h <= n_blocks-1): with 17 blocks
+    any pair within hamming 16 shares at least one error-free block.
+    The narrow blocks make buckets coarse (8 values per 3-bit block) -
+    the documented precision/cost trade for wide radii; banded minhash
+    is the scale path for aggressive near-dup."""
+    pairs = simhash_pairs(docs_df, max_hamming=16, n_blocks=17)
+    got = {(r.a, r.b): r.hamming for r in pairs.collect()}
+    assert got.get((1, 4)) == 0           # exact dup found
+    assert all(h <= 16 for h in got.values())
+    # the near-dup pair (1,2) differs by one word -> small hamming;
+    # the sound wide config must recover it
+    assert (1, 2) in got
