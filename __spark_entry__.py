@@ -389,7 +389,12 @@ def q_media_decode(spark, sf):
 # tests/ (reference WKT / outname_base / tile parity).
 # ---------------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/pyrosar_oracle"
+_ORACLE_ROOT = "/tmp/pyrosar_oracle"
+# the driver's documented correctness sf — oracle_sql() strings are
+# static, so they always read THIS sf's handoffs; query fns write to
+# the dir keyed by their runtime sf (a bench run at sf0.1 can no
+# longer clobber the correctness handoffs — ADVICE r2)
+_ORACLE_SF = "sf0.01"
 
 AOI_RECTS = {
     "west": (-180.0, -40.0, -140.0, 60.0),  # == FLAGSHIP_AOI
@@ -398,17 +403,23 @@ AOI_RECTS = {
 }
 
 
-def _handoff(df: DataFrame, name: str) -> DataFrame:
-    """Write a deterministic intermediate frame to the oracle handoff
-    dir (eager) and return the read-back, so engine and DuckDB oracle
-    consume byte-identical input."""
-    path = f"{_ORACLE_DIR}/{name}.parquet"
+def _oracle_dir(sf_dir: str) -> str:
+    import os
+
+    return f"{_ORACLE_ROOT}/{os.path.basename(str(sf_dir).rstrip('/'))}"
+
+
+def _handoff(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
+    """Write a deterministic intermediate frame to the sf-keyed oracle
+    handoff dir (eager) and return the read-back, so engine and DuckDB
+    oracle consume byte-identical input."""
+    path = f"{_oracle_dir(sf_dir)}/{name}.parquet"
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 
 
 def _oracle_scan(name: str) -> str:
-    return f"read_parquet('{_ORACLE_DIR}/{name}.parquet/*.parquet')"
+    return f"read_parquet('{_ORACLE_ROOT}/{_ORACLE_SF}/{name}.parquet/*.parquet')"
 
 
 def _scenes_handoff(spark, sf) -> DataFrame:
@@ -421,7 +432,7 @@ def _scenes_handoff(spark, sf) -> DataFrame:
         "lines", "samples", "xmin", "xmax", "ymin", "ymax", "ring",
         seconds_col("start").alias("tsec"),
     )
-    return _handoff(scenes, "scenes")
+    return _handoff(scenes, "scenes", sf)
 
 
 def q_scene_select_tiles(spark, sf):
@@ -466,7 +477,7 @@ def q_scene_osv_asof(spark, sf):
     from pyrosar_spark.operators.asof import osv_match
 
     scenes = _scenes_handoff(spark, sf)
-    osv = _handoff(generate_osv(spark, 2000, seed=42), "osv")
+    osv = _handoff(generate_osv(spark, 2000, seed=42), "osv", sf)
     return osv_match(scenes, osv, ["POE", "RES"]).orderBy("doc_id")
 
 
@@ -537,6 +548,7 @@ def q_border_noise(spark, sf):
             "media_ref", "width", "height", "seed"
         ),
         "chips_bn",
+        sf,
     )
     # portable payload → the threshold mask is reproducible in SQL;
     # the VW border simplification stays golden-tested in tests/
@@ -555,6 +567,7 @@ def q_chip_mosaic(spark, sf):
             "xres", "yres", "width", "height", "area_or_point", "seed",
         ),
         "chips_tiles",
+        sf,
     )
     return mosaic_tiles(chips, px_per_degree=10).select(
         "tile_id", "n_chips", "n_valid_px"
@@ -669,16 +682,25 @@ def q_xmlparse_safe(spark, sf):
         F.lit(":"), two((did * 5) % 60), F.lit(":"), two((did * 11) % 60),
         F.lit(".000000"),
     )
+    # real-manifest shape (ADVICE r2): attributed orbit numbers
+    # (type="start"/"stop" — the stop values are decoys the parser must
+    # NOT pick) and a concrete swath tag that replaces mode 'SM'
     xml = F.concat(
         F.lit("<safe:manifest><metadataSection><s1sarl1:missionId>"), sensor,
         F.lit("</s1sarl1:missionId><s1sarl1:mode>"), mode,
-        F.lit("</s1sarl1:mode><s1sarl1:productType>GRD</s1sarl1:productType><s1:pass>"),
+        F.lit("</s1sarl1:mode><s1sarl1:swath>S3</s1sarl1:swath>"),
+        F.lit("<s1sarl1:productType>GRD</s1sarl1:productType><s1:pass>"),
         F.when(did % 2 == 0, "ASCENDING").otherwise("DESCENDING"),
         F.lit("</s1:pass><safe:startTime>"), start_t,
         F.lit("</safe:startTime><safe:stopTime>"), stop_t,
-        F.lit("</safe:stopTime><safe:orbitNumber>"), (1000 + did).cast("string"),
-        F.lit("</safe:orbitNumber><safe:relativeOrbitNumber>"),
+        F.lit('</safe:stopTime><safe:orbitNumber type="start">'),
+        (1000 + did).cast("string"),
+        F.lit('</safe:orbitNumber><safe:orbitNumber type="stop">'),
+        (9000 + did).cast("string"),
+        F.lit('</safe:orbitNumber><safe:relativeOrbitNumber type="start">'),
         (did % 175 + 1).cast("string"),
+        F.lit('</safe:relativeOrbitNumber><safe:relativeOrbitNumber type="stop">'),
+        (did % 175 + 2).cast("string"),
         F.lit("</safe:relativeOrbitNumber><safe:cycleNumber>"),
         (did % 60 + 1).cast("string"), F.lit("</safe:cycleNumber>"), pols,
         F.lit("<gml:coordinates>"), gml,
@@ -783,8 +805,12 @@ def q_embedding_dup_pairs(spark, sf):
     from pyrosar_spark.operators.similarity import cosine_dup_pairs
 
     e = _t(spark, sf, "embeddings")
+    # max_bucket effectively unbounded so engine and oracle share
+    # identical semantics at every sf (the capped production default is
+    # exercised + counted in tests instead — same policy as near_dup)
     return cosine_dup_pairs(
-        e, threshold=0.4, n_bits=6, n_tables=3, dim=64, seed=42
+        e, threshold=0.4, n_bits=6, n_tables=3, dim=64, seed=42,
+        max_bucket=1 << 40,
     ).orderBy("a", "b")
 
 
@@ -856,7 +882,8 @@ def _ensure_handoffs(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     needed = ["scenes", "osv", "chips_bn", "chips_tiles"]
     if all(
-        os.path.exists(f"{_ORACLE_DIR}/{n}.parquet/_SUCCESS") for n in needed
+        os.path.exists(f"{_oracle_dir(sf_dir)}/{n}.parquet/_SUCCESS")
+        for n in needed
     ):
         return
     from pyrosar_spark.session import get_spark
@@ -866,15 +893,16 @@ def _ensure_handoffs(sf_dir: str = "/root/testdata/sf0.01") -> None:
     from pyrosar_spark.datagen import docs_from_corpus, generate_osv
     from pyrosar_spark.operators.chips import assign_chip_tiles, synthetic_chips
 
-    _handoff(generate_osv(spark, 2000, seed=42), "osv")
+    _handoff(generate_osv(spark, 2000, seed=42), "osv", sf_dir)
     chips = synthetic_chips(docs_from_corpus(spark, sf_dir))
-    _handoff(chips.select("media_ref", "width", "height", "seed"), "chips_bn")
+    _handoff(chips.select("media_ref", "width", "height", "seed"), "chips_bn", sf_dir)
     _handoff(
         assign_chip_tiles(chips).select(
             "media_ref", "tile_lat", "tile_lon", "tile_id", "ulx", "uly",
             "xres", "yres", "width", "height", "area_or_point", "seed",
         ),
         "chips_tiles",
+        sf_dir,
     )
 
 
@@ -1239,7 +1267,7 @@ def oracle_sql() -> dict[str, str]:
     out["xmlparse_safe"] = """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'S1A' ELSE 'S1B' END AS sensor,
-               CASE WHEN doc_id % 3 = 0 THEN 'IW' WHEN doc_id % 3 = 1 THEN 'EW' ELSE 'SM' END AS acquisition_mode,
+               CASE WHEN doc_id % 3 = 0 THEN 'IW' WHEN doc_id % 3 = 1 THEN 'EW' ELSE 'S3' END AS acquisition_mode,
                'GRD' AS product,
                CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'D' END AS orbit,
                '201503' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'
@@ -1260,7 +1288,7 @@ def oracle_sql() -> dict[str, str]:
                ((cast(doc_id % 120 as double) - 60 + 0.25) + 1.5) AS ymax,
                concat_ws('_',
                  rpad(CASE WHEN doc_id % 2 = 0 THEN 'S1A' ELSE 'S1B' END, 4, '_'),
-                 rpad(CASE WHEN doc_id % 3 = 0 THEN 'IW' WHEN doc_id % 3 = 1 THEN 'EW' ELSE 'SM' END, 4, '_'),
+                 rpad(CASE WHEN doc_id % 3 = 0 THEN 'IW' WHEN doc_id % 3 = 1 THEN 'EW' ELSE 'S3' END, 4, '_'),
                  CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'D' END,
                  '201503' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'
                    || lpad(cast(doc_id % 24 as varchar), 2, '0')
@@ -1337,7 +1365,7 @@ def _scene_oracle_sqls() -> dict[str, str]:
                             cast(floor(cy / 1.0) as bigint) AS la,
                             cast(floor(cx / 1.0) as bigint) AS lo FROM s),
             probe AS (SELECT doc_id AS q_id, cx AS q_cx, cy AS q_cy,
-                             (la + dy + 90)*360 + (((lo + dx + 180) % 360) + 360) % 360 AS cell
+                             (greatest(least(la + dy, 89), -90) + 90)*360 + (((lo + dx + 180) % 360) + 360) % 360 AS cell
                       FROM home, unnest([-1, 0, 1]) t1(dy), unnest([-1, 0, 1]) t2(dx)),
             idx AS (SELECT doc_id AS n_id, cx AS n_cx, cy AS n_cy,
                            (la + 90)*360 + (((lo + 180) % 360) + 360) % 360 AS cell FROM home),

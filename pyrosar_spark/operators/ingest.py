@@ -291,7 +291,10 @@ def docs_to_scenes(
             F.map_from_arrays(
                 F.array(*[F.lit(k) for k in meta_keys]),
                 F.array(*[F.get_json_object("_json_txt", f"$.{k}") for k in meta_keys]),
-            ).alias("meta")
+            # the registered-key set rides on the column metadata so
+            # select() can distinguish registered meta filters from
+            # typo'd kwargs (P9 drop-with-log semantics, ADVICE r2)
+            ).alias("meta", metadata={"meta_keys": list(meta_keys)})
         ]
     geom_cols = (
         [F.col("m.coordinates").alias("_coords")]

@@ -132,10 +132,21 @@ def fetch_payloads(
         import re
 
         root = base_dir.rstrip("/")
+        real_root = os.path.realpath(root) + os.sep
         for pdf in batches:
             payloads = []
             for ref in pdf[ref_col]:
-                path = os.path.join(root, re.sub(r"^[a-z0-9+.-]+://", "", str(ref)))
+                # catalog-controlled refs must stay inside the store
+                # root: an absolute ref would make os.path.join discard
+                # the root and '..' segments would escape it (ADVICE r2)
+                # — resolve and require the real path under the root.
+                key = re.sub(r"^[a-z0-9+.-]+://", "", str(ref)).lstrip("/")
+                path = os.path.realpath(os.path.join(root, key))
+                if not path.startswith(real_root):
+                    if on_missing == "error":
+                        raise ValueError(f"media_ref escapes store root: {ref}")
+                    payloads.append(None)
+                    continue
                 try:
                     with open(path, "rb") as fh:
                         payloads.append(fh.read())

@@ -100,12 +100,22 @@ def select(
         )
 
     # P9: unknown kwargs dropped with a log line (archive.py:997-1001);
-    # kwargs matching a `meta` map key (custom_fields, archive.py:396-403)
-    # filter on the map value instead
+    # kwargs matching a REGISTERED `meta` map key (custom_fields,
+    # archive.py:396-403) filter on the map value instead. Only keys the
+    # catalog actually registered count — an unregistered/typo'd key
+    # must fall through to the drop-with-log path, not silently match
+    # NULL and empty the result (ADVICE r2). The registered set rides on
+    # the meta column's schema metadata (attached by docs_to_scenes).
+    registered: set[str] = set()
+    if "meta" in valid_cols:
+        try:
+            registered = set(scenes.schema["meta"].metadata.get("meta_keys", []))
+        except (KeyError, TypeError):
+            registered = set()
     meta_kwargs = {}
     for key in list(kwargs):
         if key not in valid_cols:
-            if "meta" in valid_cols:
+            if key in registered:
                 meta_kwargs[key] = kwargs.pop(key)
             else:
                 log.info("ignoring argument not registered in the catalog: %s", key)
@@ -162,6 +172,14 @@ def select(
         return ring_from_corners_udf(F.col("corners"))
 
     if aoi_wkt:
+        # reference parity (archive.py:1060-1061): select takes exactly
+        # ONE feature; a multi-polygon / multi-ring AOI is an error
+        # (spatial_join is the sanctioned many-AOI path)
+        head = aoi_wkt.lstrip().upper()
+        if head.startswith(("MULTI", "GEOMETRYCOLLECTION")) or "),(" in re.sub(
+            r"\s", "", aoi_wkt
+        ):
+            raise RuntimeError("'vectorobject' contains more than one feature.")
         ring = geom.wkt_to_ring(aoi_wkt)
         axmin, aymin = ring.min(axis=0)
         axmax, aymax = ring.max(axis=0)

@@ -185,12 +185,22 @@ def knn_scenes(
         F.floor(F.col("cy") / s).cast("long").alias("_la"),
         F.floor(F.col("cx") / s).cast("long").alias("_lo"),
     )
-    # probe side: replicate into the 9 neighbor cells
+    # probe side: replicate into the 9 neighbor cells. Longitude wraps
+    # (pmod); latitude CLAMPS at the poles — an unclamped _la ± 1 for a
+    # pole-adjacent footprint would probe phantom rows outside
+    # [-90/s, 90/s) and silently lose recall exactly where polar SAR
+    # coverage is densest (VERDICT r2 #6). Clamped duplicates collapse
+    # in the dropDuplicates below.
+    la_lo, la_hi = -int(round(90 / s)), int(round(90 / s)) - 1
     offsets = F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
                         for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
     probe = (
         home.withColumn("_o", F.explode(offsets))
-        .withColumn("_cell", ((F.col("_la") + F.col("_o.dy") + int(round(90 / s))) * n_lon
+        .withColumn(
+            "_pla",
+            F.greatest(F.least(F.col("_la") + F.col("_o.dy"), F.lit(la_hi)), F.lit(la_lo)),
+        )
+        .withColumn("_cell", ((F.col("_pla") + int(round(90 / s))) * n_lon
                               + F.pmod(F.col("_lo") + F.col("_o.dx") + int(round(180 / s)), F.lit(n_lon))))
         .select(F.col(id_col).alias("q_id"), F.col("cx").alias("q_cx"),
                 F.col("cy").alias("q_cy"), "_cell")

@@ -27,19 +27,51 @@ from pyrosar_spark.functions.naming import outname_base_col
 from pyrosar_spark.functions.temporal import parse_date_col
 
 
+def _tag_pat(name: str, attr_pred: str = "") -> str:
+    """Regex for ``<[ns:]name ...attrs...>text</[ns:]name>``. Real
+    manifests carry attributes on exactly the tags the reference reads
+    with attribute predicates (``drivers.py:2232-2240``), so the open
+    tag tolerates an attribute tail; ``attr_pred`` narrows to a
+    required ``key="value"`` attribute when given."""
+    open_tag = rf"<(?:[A-Za-z0-9_]+:)?{name}(?:\s[^>]*{attr_pred}[^>]*)?>"
+    if attr_pred:
+        open_tag = rf"<(?:[A-Za-z0-9_]+:)?{name}\s[^>]*{attr_pred}[^>]*>"
+    return open_tag + rf"([^<]*)</(?:[A-Za-z0-9_]+:)?{name}>"
+
+
 def xml_tag(xml: Column, name: str) -> Column:
     """Text of the first ``<[ns:]name>...</[ns:]name>`` element (NULL
-    when absent) — local-name match, namespace prefixes ignored."""
-    pat = rf"<(?:[A-Za-z0-9_]+:)?{name}>([^<]*)</(?:[A-Za-z0-9_]+:)?{name}>"
-    out = F.regexp_extract(xml, pat, 1)
+    when absent) — local-name match, namespace prefixes ignored,
+    attribute-tolerant."""
+    out = F.regexp_extract(xml, _tag_pat(name), 1)
+    return F.when(out != "", out)
+
+
+def xml_tag_attr(xml: Column, name: str, attr: str, value: str) -> Column:
+    """Text of the first ``<[ns:]name ... attr="value" ...>`` element —
+    the reference's attribute predicates, e.g.
+    ``orbitNumber[@type="start"]`` (``drivers.py:2232-2234``)."""
+    out = F.regexp_extract(xml, _tag_pat(name, rf'{attr}="{value}"'), 1)
     return F.when(out != "", out)
 
 
 def xml_tags_all(xml: Column, name: str) -> Column:
     """Array of every ``<[ns:]name>`` element text (repeated elements,
-    e.g. the SAFE polarisation list)."""
-    pat = rf"<(?:[A-Za-z0-9_]+:)?{name}>([^<]*)</(?:[A-Za-z0-9_]+:)?{name}>"
-    return F.regexp_extract_all(xml, F.lit(pat), 1)
+    e.g. the SAFE polarisation list); attribute-tolerant."""
+    return F.regexp_extract_all(xml, F.lit(_tag_pat(name)), 1)
+
+
+def xml_path_tag(xml: Column, outer: str, inner: str) -> Column:
+    """Text of the first ``<inner>`` inside the first ``<outer>`` — the
+    two-level path disambiguation the reference needs for e.g. TSX
+    ``sceneInfo/start/timeUTC`` vs ``stop/timeUTC``
+    (``drivers.py:2372-2373``). Non-greedy within the outer element."""
+    pat = (
+        rf"(?s)<(?:[A-Za-z0-9_]+:)?{outer}(?:\s[^>]*)?>.*?"
+        rf"<(?:[A-Za-z0-9_]+:)?{inner}(?:\s[^>]*)?>([^<]*)</(?:[A-Za-z0-9_]+:)?{inner}>"
+    )
+    out = F.regexp_extract(xml, pat, 1)
+    return F.when(out != "", out)
 
 
 def gml_coordinates(xml: Column) -> Column:
@@ -68,8 +100,23 @@ def parse_safe_manifest(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     lats = F.transform(coords, lambda c: F.element_at(c, 2))
     start = parse_date_col(xml_tag(xml, "startTime"))
     sensor = xml_tag(xml, "missionId")
-    mode = xml_tag(xml, "mode")
+    # SM scenes report the concrete swath (S1..S6) as the acquisition
+    # mode (drivers.py:2221-2223); real manifests attribute the orbit
+    # numbers with type="start"/"stop" — prefer the start-typed form,
+    # fall back to an attribute-free tag (drivers.py:2232-2234)
+    raw_mode = xml_tag(xml, "mode")
+    mode = F.when(
+        raw_mode == "SM", F.coalesce(xml_tag(xml, "swath"), raw_mode)
+    ).otherwise(raw_mode)
     orbit = F.when(xml_tag(xml, "pass") == "ASCENDING", "A").otherwise("D")
+    orbit_abs = F.coalesce(
+        xml_tag_attr(xml, "orbitNumber", "type", "start"),
+        xml_tag(xml, "orbitNumber"),
+    )
+    orbit_rel = F.coalesce(
+        xml_tag_attr(xml, "relativeOrbitNumber", "type", "start"),
+        xml_tag(xml, "relativeOrbitNumber"),
+    )
     return df.select(
         "*",
         sensor.alias("sensor"),
@@ -78,8 +125,8 @@ def parse_safe_manifest(df: DataFrame, xml_col: str = "xml") -> DataFrame:
         orbit.alias("orbit"),
         start.alias("start"),
         parse_date_col(xml_tag(xml, "stopTime")).alias("stop"),
-        xml_tag(xml, "orbitNumber").cast("int").alias("orbitNumber_abs"),
-        xml_tag(xml, "relativeOrbitNumber").cast("int").alias("orbitNumber_rel"),
+        orbit_abs.cast("int").alias("orbitNumber_abs"),
+        orbit_rel.cast("int").alias("orbitNumber_rel"),
         xml_tag(xml, "cycleNumber").cast("int").alias("cycleNumber"),
         F.array_sort(xml_tags_all(xml, "transmitterReceiverPolarisation")).alias(
             "polarizations"
