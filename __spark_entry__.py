@@ -715,6 +715,285 @@ def q_xmlparse_safe(spark, sf):
     ).orderBy("doc_id")
 
 
+_MONTHS_UC = ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+              "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"]
+
+
+def q_xmlparse_dimap(spark, sf):
+    """BEAM_DIMAP XML parse (S4, reference ``drivers.py:814-942``): a
+    synthetic .dim document per row exercising BOTH sensor branches
+    (S1 vs ENVISAT product-type decode), the cycle/frame fallback
+    chains, the srgr flag, the upper-case month date format and the
+    corner ring; the oracle recomputes every field from first
+    principles."""
+    from pyrosar_spark.operators.formats import parse_dimap
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    is_s1 = did % 2 == 0
+    month = F.element_at(F.array(*[F.lit(m) for m in _MONTHS_UC]),
+                         (did % 12 + 1).cast("int"))
+    raw_date = F.concat(two(did % 27 + 1), F.lit("-"), month, F.lit("-2015 "),
+                        two(did % 24), F.lit(":"), two(did % 60), F.lit(":"),
+                        two((did * 7) % 60), F.lit(".000000"))
+    env_mode = F.element_at(F.array(F.lit("IMS"), F.lit("IMP"), F.lit("WSM")),
+                            (did % 3 + 1).cast("int"))
+    lat0 = (did % 120).cast("double") - 60
+    lon0 = (did % 300).cast("double") - 150
+    md = lambda n, v: F.concat(F.lit(f'<MDATTR name="{n}">'), v, F.lit("</MDATTR>"))  # noqa: E731
+    xml = F.concat(
+        F.lit('<Dimap_Document><MDElem name="Abstracted_Metadata">'),
+        md("MISSION", F.when(is_s1, "SENTINEL-1A").otherwise("ENVISAT")),
+        F.when(is_s1, md("ACQUISITION_MODE", F.lit("IW"))).otherwise(
+            md("PRODUCT_TYPE", F.concat(F.lit("ASA_"), env_mode, F.lit("_1P")))),
+        md("PASS", F.when(did % 3 == 0, "ASCENDING").otherwise("DESCENDING")),
+        md("ABS_ORBIT", (2000 + did).cast("string")),
+        md("REL_ORBIT", (did % 431 + 1).cast("string")),
+        # fallback chains: orbit_cycle only on even rows, data_take_id
+        # only on multiples of 3
+        F.when(is_s1, md("orbit_cycle", (did % 60 + 1).cast("string"))).otherwise(
+            md("CYCLE", (did % 80 + 1).cast("string"))),
+        F.when(did % 3 == 0, md("data_take_id", (5000 + did).cast("string"))).otherwise(F.lit("")),
+        md("SWATH", F.lit("IW")),
+        md("srgr_flag", (did % 2).cast("string")),
+        # sentinel rows (did%5==0) fall back to the midSwath mean
+        F.when(did % 5 == 0, F.concat(
+            md("incidence_near", F.lit("99999.0")),
+            md("incidence_far", F.lit("99999.0")),
+            md("incidenceAngleMidSwath", (20 + did % 10).cast("string")),
+            md("incidenceAngleMidSwath", (30 + did % 10).cast("string")),
+        )).otherwise(F.concat(
+            md("incidence_near", (20 + did % 10).cast("string")),
+            md("incidence_far", (40 + did % 10).cast("string")),
+        )),
+        md("first_near_lat", lat0.cast("string")),
+        md("first_near_long", lon0.cast("string")),
+        md("first_far_lat", (lat0 + 0.4).cast("string")),
+        md("first_far_long", (lon0 + 3.5).cast("string")),
+        md("last_near_lat", (lat0 + 1.5).cast("string")),
+        md("last_near_long", (lon0 - 0.5).cast("string")),
+        md("last_far_lat", (lat0 + 1.9).cast("string")),
+        md("last_far_long", (lon0 + 3.0).cast("string")),
+        F.lit('<MDATTR name="mds1_tx_rx_polar" desc="Polarization">VV</MDATTR>'
+              '<MDATTR name="mds2_tx_rx_polar" desc="Polarization">VH</MDATTR>'
+              "</MDElem>"),
+        F.when(is_s1, F.lit("<PRODUCT_TYPE>GRD</PRODUCT_TYPE>")).otherwise(F.lit("")),
+        F.lit("<BAND_RASTER_WIDTH>"), (20000 + did % 9000).cast("string"),
+        F.lit("</BAND_RASTER_WIDTH><BAND_RASTER_HEIGHT>"),
+        (12000 + did % 7000).cast("string"),
+        F.lit("</BAND_RASTER_HEIGHT><NBANDS>2</NBANDS>"
+              "<PRODUCT_SCENE_RASTER_START_TIME>"), raw_date,
+        F.lit("</PRODUCT_SCENE_RASTER_START_TIME>"
+              "<PRODUCT_SCENE_RASTER_STOP_TIME>"), raw_date,
+        F.lit("</PRODUCT_SCENE_RASTER_STOP_TIME></Dimap_Document>"),
+    )
+    parsed = parse_dimap(d.select("doc_id", xml.alias("xml")), "xml")
+    return parsed.select(
+        "doc_id", "sensor", "acquisition_mode", "product", "orbit", "start",
+        "orbitNumber_abs", "orbitNumber_rel", "cycleNumber", "frameNumber",
+        "samples", "lines", "image_geometry",
+        F.round("incidence", 6).alias("incidence"),
+        F.concat_ws("/", "polarizations").alias("pols"),
+        "xmin", "xmax", "ymin", "ymax", "outname_base",
+    ).orderBy("doc_id")
+
+
+def q_xmlparse_tsx(spark, sf):
+    """TSX annotation XML parse (S4, reference ``drivers.py:2354-2392``)
+    incl. the GEOREF gridPoint grid with the >180° west shift."""
+    from pyrosar_spark.operators.formats import parse_tsx
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    t = lambda hh, mm, ss: F.concat(  # noqa: E731
+        F.lit("2014-09-"), two(did % 27 + 1), F.lit("T"), two(hh), F.lit(":"),
+        two(mm), F.lit(":"), two(ss), F.lit(".000000Z"))
+    lon_raw = (did % 360).cast("double")  # [0, 360) — exercises the shift
+    lat_raw = (did % 160).cast("double") - 80
+    gp = lambda la, lo: F.concat(  # noqa: E731
+        F.lit("<gridPoint><lat>"), la.cast("string"), F.lit("</lat><lon>"),
+        lo.cast("string"), F.lit("</lon></gridPoint>"))
+    xml = F.concat(
+        F.lit("<level1Product><generalHeader><mission>"),
+        F.when(did % 2 == 0, "TSX-1").otherwise("TDX-1"),
+        F.lit("</mission></generalHeader><orderInfo><productVariant>"),
+        F.when(did % 3 == 0, "SSC").otherwise("MGD"),
+        F.lit("</productVariant></orderInfo><missionInfo><orbitDirection>"),
+        F.when(did % 2 == 0, "ASCENDING").otherwise("DESCENDING"),
+        F.lit("</orbitDirection><absOrbit>"), (15000 + did).cast("string"),
+        F.lit("</absOrbit><relOrbit>"), (did % 167 + 1).cast("string"),
+        F.lit("</relOrbit><orbitCycle>"), (did % 90 + 1).cast("string"),
+        F.lit("</orbitCycle></missionInfo><inputData><uniqueDataTakeID>"),
+        (100000 + did).cast("string"),
+        F.lit("</uniqueDataTakeID></inputData><acquisitionInfo><imagingMode>"),
+        F.element_at(F.array(F.lit("SM"), F.lit("HS"), F.lit("SL")),
+                     (did % 3 + 1).cast("int")),
+        F.lit("</imagingMode><polarisationList><polLayer>HH</polLayer>"
+              "<polLayer>VV</polLayer></polarisationList></acquisitionInfo>"
+              "<sceneInfo><start><timeUTC>"), t(did % 24, did % 60, (did * 7) % 60),
+        F.lit("</timeUTC></start><stop><timeUTC>"),
+        t((did * 3) % 24, (did * 5) % 60, (did * 11) % 60),
+        F.lit("</timeUTC></stop><sceneCenterCoord><incidenceAngle>"),
+        (20 + did % 25).cast("string"),
+        F.lit("</incidenceAngle></sceneCenterCoord></sceneInfo>"
+              "<imageDataInfo><imageRaster><rowSpacing>1.25</rowSpacing>"
+              "<columnSpacing>0.9</columnSpacing><numberOfColumns>"),
+        (10000 + did % 5000).cast("string"),
+        F.lit("</numberOfColumns><numberOfRows>"),
+        (9000 + did % 6000).cast("string"),
+        F.lit("</numberOfRows><rangeLooks>1.0</rangeLooks>"
+              "<azimuthLooks>2.0</azimuthLooks></imageRaster></imageDataInfo>"),
+        gp(lat_raw, lon_raw), gp(lat_raw + 0.8, lon_raw + 0.6),
+        F.lit("</level1Product>"),
+    )
+    parsed = parse_tsx(d.select("doc_id", xml.alias("xml")), "xml")
+    return parsed.select(
+        "doc_id", "sensor", "product", "orbit",
+        F.concat_ws("/", "polarizations").alias("pols"),
+        "orbitNumber_abs", "orbitNumber_rel", "cycleNumber", "frameNumber",
+        "acquisition_mode", "start", "stop", "spacing_rg", "spacing_az",
+        "samples", "lines", "incidence",
+        "xmin", "xmax", "ymin", "ymax", "outname_base",
+    ).orderBy("doc_id")
+
+
+def q_xmlparse_tdm(spark, sf):
+    """TDM CoSSC parse (S4, reference ``drivers.py:2455-2525``): TDM
+    annotation + inSAR-master TSX span; verifies the master-field lift,
+    the SAT1/SAT2 master resolution and the bistatic flag."""
+    from pyrosar_spark.operators.formats import parse_tdm
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    two = lambda c: F.lpad(c.cast("string"), 2, "0")  # noqa: E731
+    lat0 = (did % 140).cast("double") - 70
+    lon0 = (did % 320).cast("double") - 160
+    cc = lambda la, lo: F.concat(  # noqa: E731
+        F.lit("<sceneCornerCoord><lat>"), la.cast("string"),
+        F.lit("</lat><lon>"), lo.cast("string"),
+        F.lit("</lon></sceneCornerCoord>"))
+    tdm = F.concat(
+        F.lit("<TDM><productInfo><productType>CoSSC</productType></productInfo>"
+              "<commonAcquisitionInfo><missionID>TDM-1</missionID>"
+              "<satelliteIDsat1>TSX-1</satelliteIDsat1>"
+              "<satelliteIDsat2>TDX-1</satelliteIDsat2><inSARmasterID>"),
+        F.when(did % 2 == 0, "SAT1").otherwise("SAT2"),
+        F.lit("</inSARmasterID><cooperativeMode>"),
+        F.when(did % 3 == 0, "BISTATIC").otherwise("monostatic"),
+        F.lit("</cooperativeMode><operationsInfo><acquisitionItemID>"),
+        (700 + did).cast("string"),
+        F.lit("</acquisitionItemID></operationsInfo></commonAcquisitionInfo>"
+              "<acquisitionGeometry><effectiveBaseline>"),
+        (100.0 + (did % 50).cast("double")).cast("string"),
+        F.lit("</effectiveBaseline><heightOfAmbiguity>"),
+        (30.0 + (did % 40).cast("double")).cast("string"),
+        F.lit("</heightOfAmbiguity><distanceActivePos>1.5</distanceActivePos>"
+              "<distanceTracks>0.8</distanceTracks>"
+              "<orbitDirection>DESCENDING</orbitDirection></acquisitionGeometry>"),
+        cc(lat0, lon0), cc(lat0 + 0.9, lon0 + 1.1),
+        F.lit("</TDM>"),
+    )
+    master = F.concat(
+        F.lit("<level1Product><generalHeader><mission>"),
+        F.when(did % 2 == 0, "TSX-1").otherwise("TDX-1"),
+        F.lit("</mission></generalHeader>"
+              "<orderInfo><productVariant>SSC</productVariant></orderInfo>"
+              "<missionInfo><orbitDirection>"),
+        F.when(did % 4 == 0, "ASCENDING").otherwise("DESCENDING"),
+        F.lit("</orbitDirection><absOrbit>"), (20000 + did).cast("string"),
+        F.lit("</absOrbit><relOrbit>"), (did % 167 + 1).cast("string"),
+        F.lit("</relOrbit><orbitCycle>"), (did % 90 + 1).cast("string"),
+        F.lit("</orbitCycle></missionInfo><inputData><uniqueDataTakeID>"),
+        (200000 + did).cast("string"),
+        F.lit("</uniqueDataTakeID></inputData>"
+              "<acquisitionInfo><imagingMode>SM</imagingMode><polarisationList>"
+              "<polLayer>HH</polLayer></polarisationList></acquisitionInfo>"
+              "<sceneInfo><start><timeUTC>2014-10-"),
+        two(did % 27 + 1), F.lit("T"), two(did % 24), F.lit(":"), two(did % 60),
+        F.lit(":"), two((did * 7) % 60),
+        F.lit(".000000Z</timeUTC></start><stop><timeUTC>2014-10-"),
+        two(did % 27 + 1), F.lit("T"), two((did * 3) % 24), F.lit(":"),
+        two((did * 5) % 60), F.lit(":"), two((did * 11) % 60),
+        F.lit(".000000Z</timeUTC></stop><sceneCenterCoord><incidenceAngle>"),
+        (25 + did % 20).cast("string"),
+        F.lit("</incidenceAngle></sceneCenterCoord></sceneInfo>"
+              "<imageDataInfo><imageRaster><rowSpacing>2.5</rowSpacing>"
+              "<columnSpacing>1.1</columnSpacing><numberOfColumns>"),
+        (8000 + did % 3000).cast("string"),
+        F.lit("</numberOfColumns><numberOfRows>"),
+        (7000 + did % 4000).cast("string"),
+        F.lit("</numberOfRows><rangeLooks>2.0</rangeLooks>"
+              "<azimuthLooks>2.0</azimuthLooks></imageRaster></imageDataInfo>"
+              "</level1Product>"),
+    )
+    parsed = parse_tdm(
+        d.select("doc_id", tdm.alias("xml"), master.alias("master_xml")),
+        "xml", "master_xml",
+    )
+    return parsed.select(
+        "doc_id", "sensor", "product", "SAT1", "SAT2", "inSARmasterID",
+        "inSARmaster", "acquisitionItemID", "effectiveBaseline",
+        "heightOfAmbiguity", "cooperativeMode", "bistatic",
+        "orbit", "orbitNumber_abs", "acquisition_mode", "start", "stop",
+        "samples", "lines", "incidence",
+        "xmin", "xmax", "ymin", "ymax", "outname_base",
+    ).orderBy("doc_id")
+
+
+def q_txtparse_psr(spark, sf):
+    """EORC_PSR line-indexed text-header parse (S4, reference
+    ``drivers.py:1519-1586``): synthetic HDR + facter_m files per row
+    (fields at the reference's fixed line indices, space-padded to
+    exercise the space strip), abs-orbit arithmetic included."""
+    from pyrosar_spark.operators.formats import parse_psr_text
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    lat0 = (did % 100).cast("double") - 50
+    lon0 = (did % 340).cast("double") - 170
+
+    def lines(n: int, overrides: dict[int, F.Column]) -> F.Column:
+        arr = [
+            overrides.get(i, F.lit(f"filler {i}")) for i in range(n)
+        ]
+        return F.concat_ws("\n", *[c.cast("string") for c in arr])
+
+    hdr = lines(80, {
+        2: F.lit("PSR2"),
+        3: F.lit("1.5"),
+        5: (did % 20 + 1),
+        6: F.concat(F.lit("201409"), F.lpad((did % 27 + 1).cast("string"), 2, "0")),
+        7: (did % 207 + 1),
+        9: F.when(did % 2 == 0, "A").otherwise("D"),
+        12: F.when(did % 2 == 0, "FBD").otherwise("FBS"),
+        33: lat0, 34: lon0,
+        35: (lat0 - 0.2), 36: (lon0 - 0.7),
+        37: (lat0 - 0.6), 38: lon0,
+        39: (lat0 - 0.8), 40: (lon0 - 0.5),
+        # space-padded numerics: the parser must strip blanks like the
+        # reference's replace(' ', '') (drivers.py:1521-1523)
+        51: F.lit("  6.25 "), 52: F.lit(" 6.25"),
+        64: F.lit("-83.0"), 73: F.lit("EORC"),
+    })
+    facter = lines(175, {
+        50: (10000 + did % 5000).cast("double"),
+        51: (11000 + did % 4000).cast("double"),
+        119: (30.0 + (did % 15).cast("double")),
+    })
+    parsed = parse_psr_text(
+        d.select("doc_id", hdr.alias("hdr"), facter.alias("facter")),
+        "hdr", "facter",
+    )
+    return parsed.select(
+        "doc_id", "sensor", "product", "acquisition_mode", "orbit", "start",
+        "orbitNumber_abs", "orbitNumber_rel", "cycleNumber",
+        "samples", "lines", "incidence", "spacing_rg", "spacing_az", "k_dB",
+        "proc_facility", "xmin", "xmax", "ymin", "ymax", "outname_base",
+    ).orderBy("doc_id")
+
+
 def q_ers_pass(spark, sf):
     """J4 ERS pass-DB lookup with ERS1→ERS2 fallback over deterministic
     frames derived from nation (pass table) and customer (scenes)."""
@@ -852,6 +1131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binparse_fixed": q_binparse_fixed,
         "s1_resolution": q_s1_resolution,
         "xmlparse_safe": q_xmlparse_safe,
+        "xmlparse_dimap": q_xmlparse_dimap,
+        "xmlparse_tsx": q_xmlparse_tsx,
+        "xmlparse_tdm": q_xmlparse_tdm,
+        "txtparse_psr": q_txtparse_psr,
         "ers_pass": q_ers_pass,
         "odc_emit": q_odc_emit,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1328,7 +1611,160 @@ def oracle_sql() -> dict[str, str]:
     out.update(_ann_oracle_sqls())
     out.update(_pixel_oracle_sqls())
     out.update(_odc_oracle_sqls())
+    out.update(_format_oracle_sqls())
     return out
+
+
+def _format_oracle_sqls() -> dict[str, str]:
+    """First-principles mirrors of the round-3 format-dialect queries
+    (every field recomputed from doc_id arithmetic, no XML/text parse
+    on the DuckDB side)."""
+    stamp = (
+        "'2015' || lpad(cast(doc_id % 12 + 1 as varchar), 2, '0')"
+        " || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'"
+        " || lpad(cast(doc_id % 24 as varchar), 2, '0')"
+        " || lpad(cast(doc_id % 60 as varchar), 2, '0')"
+        " || lpad(cast((doc_id*7) % 60 as varchar), 2, '0')"
+    )
+    tsx_start = (
+        "'201409' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'"
+        " || lpad(cast(doc_id % 24 as varchar), 2, '0')"
+        " || lpad(cast(doc_id % 60 as varchar), 2, '0')"
+        " || lpad(cast((doc_id*7) % 60 as varchar), 2, '0')"
+    )
+    tsx_stop = (
+        "'201409' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') || 'T'"
+        " || lpad(cast((doc_id*3) % 24 as varchar), 2, '0')"
+        " || lpad(cast((doc_id*5) % 60 as varchar), 2, '0')"
+        " || lpad(cast((doc_id*11) % 60 as varchar), 2, '0')"
+    )
+    tdm_start = tsx_start.replace("'201409'", "'201410'")
+    tdm_stop = tsx_stop.replace("'201409'", "'201410'")
+    return {
+        "xmlparse_dimap": f"""
+            WITH b AS (
+                SELECT doc_id, doc_id % 2 = 0 AS is_s1,
+                       CASE (doc_id % 3) WHEN 0 THEN 'IMS' WHEN 1 THEN 'IMP' ELSE 'WSM' END AS env_mode,
+                       cast(doc_id % 120 as double) - 60 AS lat0,
+                       cast(doc_id % 300 as double) - 150 AS lon0,
+                       {stamp} AS stamp
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN is_s1 THEN 'S1A' ELSE 'ASAR' END AS sensor,
+                   CASE WHEN is_s1 THEN 'IW' ELSE env_mode END AS acquisition_mode,
+                   CASE WHEN is_s1 THEN 'GRD' WHEN env_mode = 'IMS' THEN 'SLC'
+                        WHEN env_mode = 'IMP' THEN 'PRI' ELSE 'MR' END AS product,
+                   CASE WHEN doc_id % 3 = 0 THEN 'A' ELSE 'D' END AS orbit,
+                   stamp AS start,
+                   cast(2000 + doc_id as int) AS orbitNumber_abs,
+                   cast(doc_id % 431 + 1 as int) AS orbitNumber_rel,
+                   cast(CASE WHEN is_s1 THEN doc_id % 60 + 1 ELSE doc_id % 80 + 1 END as int) AS cycleNumber,
+                   cast(CASE WHEN doc_id % 3 = 0 THEN 5000 + doc_id ELSE 2000 + doc_id END as int) AS frameNumber,
+                   cast(20000 + doc_id % 9000 as int) AS samples,
+                   cast(12000 + doc_id % 7000 as int) AS lines,
+                   CASE WHEN doc_id % 2 = 0 THEN 'SLANT_RANGE' ELSE 'GROUND_RANGE' END AS image_geometry,
+                   round(cast(CASE WHEN doc_id % 5 = 0 THEN 25 + doc_id % 10
+                                   ELSE 30 + doc_id % 10 END as double), 6) AS incidence,
+                   'VH/VV' AS pols,
+                   lon0 - 0.5 AS xmin, lon0 + 3.5 AS xmax,
+                   lat0 AS ymin, lat0 + 1.9 AS ymax,
+                   concat_ws('_',
+                       rpad(CASE WHEN is_s1 THEN 'S1A' ELSE 'ASAR' END, 4, '_'),
+                       rpad(CASE WHEN is_s1 THEN 'IW' ELSE env_mode END, 4, '_'),
+                       CASE WHEN doc_id % 3 = 0 THEN 'A' ELSE 'D' END,
+                       stamp) AS outname_base
+            FROM b ORDER BY doc_id
+        """,
+        "xmlparse_tsx": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       cast(doc_id % 360 as double) AS l1,
+                       cast(doc_id % 160 as double) - 80 AS la1,
+                       {tsx_start} AS strt, {tsx_stop} AS stp,
+                       CASE (doc_id % 3) WHEN 0 THEN 'SM' WHEN 1 THEN 'HS' ELSE 'SL' END AS mode,
+                       CASE WHEN doc_id % 2 = 0 THEN 'TSX1' ELSE 'TDX1' END AS sens,
+                       CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'D' END AS orb
+                FROM documents
+            ), s AS (
+                SELECT *,
+                       CASE WHEN l1 > 180 THEN l1 - 360 ELSE l1 END AS s1,
+                       CASE WHEN l1 + 0.6 > 180 THEN l1 + 0.6 - 360 ELSE l1 + 0.6 END AS s2
+                FROM b
+            )
+            SELECT doc_id, sens AS sensor,
+                   CASE WHEN doc_id % 3 = 0 THEN 'SSC' ELSE 'MGD' END AS product,
+                   orb AS orbit, 'HH/VV' AS pols,
+                   cast(15000 + doc_id as int) AS orbitNumber_abs,
+                   cast(doc_id % 167 + 1 as int) AS orbitNumber_rel,
+                   cast(doc_id % 90 + 1 as int) AS cycleNumber,
+                   cast(100000 + doc_id as int) AS frameNumber,
+                   mode AS acquisition_mode, strt AS start, stp AS stop,
+                   cast(0.9 as double) AS spacing_rg, cast(1.25 as double) AS spacing_az,
+                   cast(10000 + doc_id % 5000 as int) AS samples,
+                   cast(9000 + doc_id % 6000 as int) AS lines,
+                   cast(20 + doc_id % 25 as double) AS incidence,
+                   least(s1, s2) AS xmin, greatest(s1, s2) AS xmax,
+                   la1 AS ymin, la1 + 0.8 AS ymax,
+                   concat_ws('_', rpad(sens, 4, '_'), rpad(mode, 4, '_'), orb, strt) AS outname_base
+            FROM s ORDER BY doc_id
+        """,
+        "xmlparse_tdm": f"""
+            WITH b AS (
+                SELECT doc_id,
+                       cast(doc_id % 140 as double) - 70 AS lat0,
+                       cast(doc_id % 320 as double) - 160 AS lon0,
+                       {tdm_start} AS strt, {tdm_stop} AS stp,
+                       CASE WHEN doc_id % 4 = 0 THEN 'A' ELSE 'D' END AS orb
+                FROM documents
+            )
+            SELECT doc_id, 'TDM1' AS sensor, 'CoSSC' AS product,
+                   'TSX-1' AS SAT1, 'TDX-1' AS SAT2,
+                   CASE WHEN doc_id % 2 = 0 THEN 'SAT1' ELSE 'SAT2' END AS inSARmasterID,
+                   CASE WHEN doc_id % 2 = 0 THEN 'TSX1' ELSE 'TDX1' END AS inSARmaster,
+                   cast(700 + doc_id as int) AS acquisitionItemID,
+                   cast(100.0 as double) + cast(doc_id % 50 as double) AS effectiveBaseline,
+                   cast(30.0 as double) + cast(doc_id % 40 as double) AS heightOfAmbiguity,
+                   CASE WHEN doc_id % 3 = 0 THEN 'BISTATIC' ELSE 'monostatic' END AS cooperativeMode,
+                   doc_id % 3 = 0 AS bistatic,
+                   orb AS orbit,
+                   cast(20000 + doc_id as int) AS orbitNumber_abs,
+                   'SM' AS acquisition_mode, strt AS start, stp AS stop,
+                   cast(8000 + doc_id % 3000 as int) AS samples,
+                   cast(7000 + doc_id % 4000 as int) AS lines,
+                   cast(25 + doc_id % 20 as double) AS incidence,
+                   lon0 AS xmin, lon0 + 1.1 AS xmax,
+                   lat0 AS ymin, lat0 + 0.9 AS ymax,
+                   concat_ws('_', 'TDM1', 'SM__', orb, strt) AS outname_base
+            FROM b ORDER BY doc_id
+        """,
+        "txtparse_psr": """
+            WITH b AS (
+                SELECT doc_id,
+                       cast(doc_id % 100 as double) - 50 AS la,
+                       cast(doc_id % 340 as double) - 170 AS lo,
+                       '201409' || lpad(cast(doc_id % 27 + 1 as varchar), 2, '0') AS strt,
+                       CASE WHEN doc_id % 2 = 0 THEN 'FBD' ELSE 'FBS' END AS mode,
+                       CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'D' END AS orb,
+                       cast(doc_id % 20 + 1 as int) AS cyc,
+                       cast(doc_id % 207 + 1 as int) AS rel
+                FROM documents
+            )
+            SELECT doc_id, 'PSR2' AS sensor, '1.5' AS product,
+                   mode AS acquisition_mode, orb AS orbit, strt AS start,
+                   cast(207 * (cyc - 1) + rel as int) AS orbitNumber_abs,
+                   rel AS orbitNumber_rel, cyc AS cycleNumber,
+                   cast(10000 + doc_id % 5000 as int) AS samples,
+                   cast(11000 + doc_id % 4000 as int) AS lines,
+                   cast(30.0 as double) + cast(doc_id % 15 as double) AS incidence,
+                   cast(6.25 as double) AS spacing_rg, cast(6.25 as double) AS spacing_az,
+                   cast(-83.0 as double) AS k_dB, 'EORC' AS proc_facility,
+                   lo - 0.7 AS xmin, lo AS xmax,
+                   la - 0.8 AS ymin, la AS ymax,
+                   concat_ws('_', 'PSR2', rpad(mode, 4, '_'), orb, strt) AS outname_base
+            FROM b ORDER BY doc_id
+        """,
+    }
 
 
 def _scene_oracle_sqls() -> dict[str, str]:
