@@ -715,6 +715,28 @@ def q_xmlparse_safe(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_geogrid_parse(spark, sf):
+    """REAL ESA geolocation-grid binary parse (VERDICT r2 #4,
+    reference ``drivers.py:1700-1760``): packed big-endian GEOLOCATION
+    GRID ADS records (generated per the reference layout with the
+    expected decoded values stored alongside) → vectorized numpy
+    unpack → 22 tie-point rows per record. The engine reads ONLY the
+    record bytes; the oracle reads the independently-stored expected
+    columns from the same handoff."""
+    from pyrosar_spark.datagen import generate_geo_ads
+    from pyrosar_spark.operators.geogrid import tie_points_from_records
+
+    recs = _handoff(generate_geo_ads(spark, sf), "geo_ads", sf)
+    pts = tie_points_from_records(recs.select("doc_id", "rec"))
+    return pts.select(
+        "doc_id", "grp", "idx", "line_num", "num_lines",
+        F.round("first_time_sec", 6).alias("first_time_sec"),
+        F.round("last_time_sec", 6).alias("last_time_sec"),
+        "sub_sat_track", "swath", "sample_number", "slant_range_time",
+        "incident_angle", "latitude", "longitude",
+    ).orderBy("doc_id", "grp", "idx")
+
+
 _MONTHS_UC = ["JAN", "FEB", "MAR", "APR", "MAY", "JUN",
               "JUL", "AUG", "SEP", "OCT", "NOV", "DEC"]
 
@@ -1135,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xmlparse_tsx": q_xmlparse_tsx,
         "xmlparse_tdm": q_xmlparse_tdm,
         "txtparse_psr": q_txtparse_psr,
+        "geogrid_parse": q_geogrid_parse,
         "ers_pass": q_ers_pass,
         "odc_emit": q_odc_emit,
         "embedding_dup_pairs": q_embedding_dup_pairs,
@@ -1163,7 +1186,7 @@ def _ensure_handoffs(sf_dir: str = "/root/testdata/sf0.01") -> None:
     (over)written them and this is a no-op."""
     import os
 
-    needed = ["scenes", "osv", "chips_bn", "chips_tiles"]
+    needed = ["scenes", "osv", "chips_bn", "chips_tiles", "geo_ads"]
     if all(
         os.path.exists(f"{_oracle_dir(sf_dir)}/{n}.parquet/_SUCCESS")
         for n in needed
@@ -1187,6 +1210,9 @@ def _ensure_handoffs(sf_dir: str = "/root/testdata/sf0.01") -> None:
         "chips_tiles",
         sf_dir,
     )
+    from pyrosar_spark.datagen import generate_geo_ads
+
+    _handoff(generate_geo_ads(spark, sf_dir), "geo_ads", sf_dir)
 
 
 def _mask_sql_list(n_hashes: int) -> str:
@@ -1737,6 +1763,20 @@ def _format_oracle_sqls() -> dict[str, str]:
                    lat0 AS ymin, lat0 + 0.9 AS ymax,
                    concat_ws('_', 'TDM1', 'SM__', orb, strt) AS outname_base
             FROM b ORDER BY doc_id
+        """,
+        "geogrid_parse": f"""
+            SELECT doc_id, e_grp[i] AS grp, e_idx[i] AS idx,
+                   e_line_num AS line_num, e_num_lines AS num_lines,
+                   round(e_first_time, 6) AS first_time_sec,
+                   round(e_last_time, 6) AS last_time_sec,
+                   e_sub_sat AS sub_sat_track, e_swath AS swath,
+                   e_sample[i] AS sample_number,
+                   e_slant[i] AS slant_range_time,
+                   e_inc[i] AS incident_angle,
+                   e_lat[i] AS latitude, e_lon[i] AS longitude
+            FROM {_oracle_scan("geo_ads")},
+                 unnest(generate_series(1, 22)) t(i)
+            ORDER BY doc_id, grp, idx
         """,
         "txtparse_psr": """
             WITH b AS (

@@ -272,6 +272,109 @@ def golden_documents(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, DOC_SCHEMA)
 
 
+def generate_geo_ads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic ESA GEOLOCATION GRID ADS binary records, one per
+    corpus document — packed big-endian per the reference layout
+    (``drivers.py:1700-1760``; lengths ``[12,1,4,4,4,220,22,12,220,3,
+    19]``) — alongside the EXPECTED decoded values as plain columns.
+    The engine query parses only the ``rec`` bytes; the oracle reads
+    the expected columns from the same handoff, so the fixed-offset
+    big-endian unpack is verified against independently-stored values.
+
+    Every numeric is chosen float32-exact (quarters / power-of-two
+    fractions), so the f32→f64 round-trip is bitwise reproducible.
+    Deterministic in doc_id — no RNG.
+    """
+    import struct
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    out_schema = (
+        "doc_id bigint, rec binary, e_first_time double, e_last_time double, "
+        "e_line_num int, e_num_lines int, e_sub_sat double, e_swath string, "
+        "e_grp array<string>, e_idx array<int>, e_sample array<bigint>, "
+        "e_slant array<double>, e_inc array<double>, "
+        "e_lat array<double>, e_lon array<double>"
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                days = 5000 + did % 1000
+                sec = did % 86400
+                micro = (did * 7) % 1000000
+                line_num = (did % 4) * 1000 + 1
+                num_lines = 1000
+                sub_sat = float(did % 360) + 0.25
+                swath = f"IS{did % 7 + 1}"
+                lat0 = (did % 120 - 60) * 1_000_000
+                lon0 = (did % 300 - 150) * 1_000_000
+                grp_a, idx_a, sample_a = [], [], []
+                slant_a, inc_a, lat_a, lon_a = [], [], [], []
+                blocks = {}
+                for gi, grp in enumerate(("first", "last")):
+                    samples = [j * 2000 for j in range(11)]
+                    slants = [(5 + j + gi) / 1024.0 for j in range(11)]
+                    incs = [19.0 + j * 0.25 + (did % 16) * 0.0625 + gi * 0.5
+                            for j in range(11)]
+                    lats = [lat0 + j * 1000 - gi * 15000 for j in range(11)]
+                    lons = [lon0 + j * 2000 + gi * 3000 for j in range(11)]
+                    blocks[grp] = struct.pack(
+                        ">" + "L" * 11, *samples
+                    ) + struct.pack(
+                        ">" + "f" * 11, *slants
+                    ) + struct.pack(
+                        ">" + "f" * 11, *incs
+                    ) + struct.pack(
+                        ">" + "l" * 11, *lats
+                    ) + struct.pack(">" + "l" * 11, *lons)
+                    for j in range(11):
+                        grp_a.append(grp)
+                        idx_a.append(j)
+                        sample_a.append(samples[j])
+                        # float32 round-trip exactly as the parser sees it
+                        slant_a.append(
+                            float(struct.unpack(">f", struct.pack(">f", slants[j]))[0])
+                        )
+                        inc_a.append(
+                            float(struct.unpack(">f", struct.pack(">f", incs[j]))[0])
+                        )
+                        lat_a.append(lats[j] / 1e6)
+                        lon_a.append(lons[j] / 1e6)
+                rec = (
+                    struct.pack(">lLL", days, sec, micro)
+                    + b"\x01"
+                    + struct.pack(">LLf", line_num, num_lines, sub_sat)
+                    + blocks["first"]
+                    + b" " * 22
+                    + struct.pack(">lLL", days, sec + 90, micro)
+                    + blocks["last"]
+                    + swath.encode("ascii")
+                    + b" " * 19
+                )
+                t0 = days * 86400.0 + sec + micro / 1e6
+                t1 = days * 86400.0 + (sec + 90) + micro / 1e6
+                rows.append(
+                    (did, rec, t0, t1, line_num, num_lines, sub_sat, swath,
+                     grp_a, idx_a, sample_a, slant_a, inc_a, lat_a, lon_a)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "rec", "e_first_time", "e_last_time",
+                    "e_line_num", "e_num_lines", "e_sub_sat", "e_swath",
+                    "e_grp", "e_idx", "e_sample", "e_slant", "e_inc",
+                    "e_lat", "e_lon",
+                ],
+            )
+
+    return docs.mapInPandas(build, out_schema)
+
+
 def generate_osv(spark: SparkSession, n_files: int = 2000, seed: int = 42) -> DataFrame:
     """Synthetic orbit-file interval table (FIXTURES.md §5).
 
