@@ -36,16 +36,16 @@ def main() -> None:
         for _ in range(reps):
             t0 = time.perf_counter()
             # xor-agg forces full evaluation of every hash, one action
-            docs.select(F.sum(col).alias("s")).collect()
+            docs.select(F.bit_xor(col).alias("s")).collect()
             best = min(best, time.perf_counter() - t0)
         return best
 
     arrow_col = simhash64_udf()(F.col("text"))
     hof_col = simhash64(F.col("text"), "md5")
     # warm-up both paths once (JIT + python worker spin-up)
-    docs.select(F.sum(arrow_col)).collect()
+    docs.select(F.bit_xor(arrow_col)).collect()
     t_arrow = time_kernel(arrow_col)
-    docs.select(F.sum(hof_col)).collect()
+    docs.select(F.bit_xor(hof_col)).collect()
     t_hof = time_kernel(hof_col)
     print(
         json.dumps(
