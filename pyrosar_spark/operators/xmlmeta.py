@@ -65,12 +65,21 @@ def xml_path_tag(xml: Column, outer: str, inner: str) -> Column:
     """Text of the first ``<inner>`` inside the first ``<outer>`` — the
     two-level path disambiguation the reference needs for e.g. TSX
     ``sceneInfo/start/timeUTC`` vs ``stop/timeUTC``
-    (``drivers.py:2372-2373``). Non-greedy within the outer element."""
-    pat = (
-        rf"(?s)<(?:[A-Za-z0-9_]+:)?{outer}(?:\s[^>]*)?>.*?"
-        rf"<(?:[A-Za-z0-9_]+:)?{inner}(?:\s[^>]*)?>([^<]*)</(?:[A-Za-z0-9_]+:)?{inner}>"
+    (``drivers.py:2372-2373``).
+
+    Two-step extraction (ADVICE r3): the outer element BODY is captured
+    first (bounded by its own close tag), then the inner tag is looked
+    up within that body only — a single non-greedy crossing pattern
+    would silently escape an ``<outer>`` that lacks ``<inner>`` and
+    return a later element's text (e.g. a ``<start>`` block missing
+    ``timeUTC`` reporting the stop time as start)."""
+    body = F.regexp_extract(
+        xml,
+        rf"(?s)<(?:[A-Za-z0-9_]+:)?{outer}(?:\s[^>]*)?>(.*?)"
+        rf"</(?:[A-Za-z0-9_]+:)?{outer}>",
+        1,
     )
-    out = F.regexp_extract(xml, pat, 1)
+    out = F.regexp_extract(body, rf"(?s){_tag_pat(inner)}", 1)
     return F.when(out != "", out)
 
 

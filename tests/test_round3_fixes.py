@@ -41,8 +41,10 @@ def test_select_multi_feature_aoi_raises(scenes):
     multi = "MULTIPOLYGON(((0 0, 1 0, 1 1, 0 0)), ((2 2, 3 2, 3 3, 2 2)))"
     with pytest.raises(RuntimeError, match="more than one feature"):
         select(scenes, aoi_wkt=multi)
+    # a holed POLYGON is ONE feature in the reference (ogr honors the
+    # hole); this engine's ring model has no holes → distinct error
     holed = "POLYGON((0 0, 10 0, 10 10, 0 0), (2 2, 3 2, 3 3, 2 2))"
-    with pytest.raises(RuntimeError, match="more than one feature"):
+    with pytest.raises(RuntimeError, match="interior rings"):
         select(scenes, aoi_wkt=holed)
     # single-feature path still works
     assert select(scenes, aoi_wkt="POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))") is not None
@@ -107,6 +109,8 @@ def test_simhash_arrow_matches_hof(spark):
         ("d", ""),
         ("e", "one"),
         ("f", "Repeated repeated REPEATED tokens tokens"),
+        ("g", None),  # ADVICE r3: NULL text must propagate in BOTH kernels
+        ("h", "!!! ---"),  # tokenless but non-NULL → 0, not NULL
     ]
     df = spark.createDataFrame(texts, "doc_id string, text string")
     both = df.select(
@@ -116,6 +120,23 @@ def test_simhash_arrow_matches_hof(spark):
     ).collect()
     for r in both:
         assert r["hof"] == r["arrow"], r["doc_id"]
+    vals = {r["doc_id"]: r["arrow"] for r in both}
+    assert vals["g"] is None and vals["h"] == 0
+
+
+def test_simhash_pairs_null_text_not_paired(spark):
+    # ADVICE r3 failure mode: with the old Arrow kernel every NULL-text
+    # doc hashed to 0 and all of them emerged as hamming-0 pairs
+    from pyrosar_spark.operators.dedup import simhash_pairs
+
+    rows = [("n1", None), ("n2", None), ("n3", None),
+            ("t1", "real content here"), ("t2", "real content here")]
+    d = spark.createDataFrame(rows, "doc_id string, text string")
+    for kernel in ("arrow", "hof"):
+        got = {(r["a"], r["b"]) for r in simhash_pairs(
+            d, max_hamming=3, n_blocks=4, hash_mode="md5", kernel=kernel
+        ).collect()}
+        assert got == {("t1", "t2")}, kernel
 
 
 def test_simhash_pairs_kernels_agree(spark):
