@@ -37,10 +37,10 @@ def main() -> None:
     sf = _sf_from_dir(sf_dir)
     # flagship size: 2M docs/sf-unit (sf0.1 → 200k). Deliberately SHORT:
     # this host exhibits multi-minute exogenous stall phases (load avg
-    # >15 with no Spark running), and a one-shot bench must not be
-    # hostage to them. The steady-state throughput evidence (689k
-    # docs/s at 16 cores, min-of-reps protocol) lives in
-    # BENCH/BASELINE.md; this number is a smoke-level latency figure.
+    # >15 with no Spark running); short queries + the min-of-reps
+    # protocol below keep the headline out of their blast radius. The
+    # steady-state throughput evidence (689k docs/s at 16 cores, same
+    # protocol) lives in BENCH/BASELINE.md.
     n_docs = int(
         os.environ.get("SPARK_GRAFT_NDOCS", max(int(sf * 2_000_000), 10_000))
     )
@@ -56,12 +56,24 @@ def main() -> None:
     from pyrosar_spark.operators.select import select
     from pyrosar_spark.operators.tiles import assign_hgt
 
+    # min-of-reps protocol (VERDICT r3 #1): a one-shot headline on a VM
+    # with documented multi-second exogenous stall phases made
+    # round-over-round deltas noise. Each query runs SPARK_GRAFT_REPS
+    # times (default 3) in-process (JVM warm); the reported time is the
+    # min, the per-query spread is emitted alongside so a storm-hit run
+    # is visible instead of silently inflating the headline.
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        timings[name] = round(min(ts), 3)
+        spreads[name] = round(max(ts) - min(ts), 3)
 
     # flagship: interleaved docs → scenes → AOI+date select → tile lattice.
     # The documents table is a *stored* table at the target scale (an
@@ -128,6 +140,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spreads": spreads,
+                "reps": reps,
                 "sf": sf,
                 "n_docs": n_docs,
                 "throughput_docs_per_sec": docs_per_sec,
