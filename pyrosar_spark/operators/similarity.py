@@ -97,7 +97,12 @@ def _hyperplane(dim: int, bit: int, seed: int) -> list[float]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id for one vector under the given planes."""
+    """Sign-pattern bucket id for one vector under the given planes —
+    the LITERAL form: n_bits × dim scalar literals in the expression
+    tree. Retained for A/B (scripts/plan_size_ann.py) and tiny configs;
+    production paths use :func:`lsh_bucket_col` over a broadcast planes
+    column (VERDICT r3 #3: at n_bits=32+ the literal tree dominates
+    analysis time and plan size)."""
     bits = []
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(float(x)) for x in p])
@@ -110,6 +115,31 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     for b in bits:
         out = out.bitwiseXOR(b)
     return out
+
+
+def with_const(df: DataFrame, name: str, value, dtype: str) -> DataFrame:
+    """Attach a large constant (planes matrix, centroid table) as a
+    broadcast ONE-ROW column instead of an expression-tree literal
+    (VERDICT r3 #3): a LocalRelation row keeps plan size and analysis
+    time O(1) in the constant's size — the shape that survives
+    production ANN configs (64 bits, 4096 cells) — and the broadcast
+    nested-loop join against a single row is free."""
+    one = df.sparkSession.createDataFrame([(value,)], f"{name} {dtype}")
+    return df.crossJoin(F.broadcast(one))
+
+
+def lsh_bucket_col(vec: Column, planes: Column) -> Column:
+    """Sign-pattern bucket id from a planes COLUMN
+    (``array<array<double>>``, plane i → bit i). Same math as
+    :func:`lsh_bucket`: Horner accumulation over the reversed plane
+    list gives Σ bit_i·2^i exactly (integer ops, no float pow)."""
+    zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    return F.aggregate(
+        F.reverse(planes),
+        zero,
+        lambda acc, p: acc * 2 + F.when(dot(vec, p) >= 0, one).otherwise(zero),
+    )
 
 
 def lsh_topk(
@@ -130,21 +160,36 @@ def lsh_topk(
     the bucket id is the Iceberg clustering key, so a probe reads only
     matching files (partition pruning instead of a full scan).
     """
-    it = items.select(
-        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("item_vec")
+    planes3 = _planes3(n_bits, n_tables, dim, seed)
+
+    def bucketed(df: DataFrame, vec: str) -> DataFrame:
+        out = with_const(df, "_planes", planes3, _PLANES3_T)
+        return out.withColumn(
+            "_bkts",
+            F.transform(F.col("_planes"), lambda tp: lsh_bucket_col(F.col(vec), tp)),
+        ).select(
+            *df.columns, F.posexplode(F.col("_bkts")).alias("_table", "_bucket")
+        )
+
+    it_b = bucketed(
+        items.select(
+            F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("item_vec")
+        ),
+        "item_vec",
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+    q_b = F.broadcast(
+        bucketed(
+            queries.select(
+                F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+            ),
+            "q_vec",
+        )
     )
-    cands = None
-    for t in range(n_tables):
-        planes = [_hyperplane(dim, b, seed + 1000 * t) for b in range(n_bits)]
-        it_b = it.withColumn("_bucket", lsh_bucket(F.col("item_vec"), planes))
-        q_b = F.broadcast(q.withColumn("_bucket", lsh_bucket(F.col("q_vec"), planes)))
-        c = it_b.join(q_b, on="_bucket").drop("_bucket")
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.where(F.col("item_id") != F.col("q_id")).dropDuplicates(
-        ["q_id", "item_id"]
+    cands = (
+        it_b.join(q_b, on=["_table", "_bucket"])
+        .drop("_table", "_bucket")
+        .where(F.col("item_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "item_id"])
     )
     scored = cands.select(
         "q_id",
@@ -159,22 +204,31 @@ def lsh_topk(
     )
 
 
+_PLANES3_T = "array<array<array<double>>>"
+
+
+def _planes3(n_bits: int, n_tables: int, dim: int, seed: int) -> list:
+    """table → bit → plane vector (the full LSH index, one constant)."""
+    return [
+        [_hyperplane(dim, b, seed + 1000 * t) for b in range(n_bits)]
+        for t in range(n_tables)
+    ]
+
+
 def _bucketed_tables(
     it: DataFrame, n_bits: int, n_tables: int, dim: int, seed: int
 ) -> DataFrame:
     """(_id, _vec, _table, _bucket) — every item in its bucket per LSH
-    table, one frame (bucket columns computed in a single projection)."""
-    buckets = F.array(
-        *[
-            lsh_bucket(
-                F.col("_vec"),
-                [_hyperplane(dim, b, seed + 1000 * t) for b in range(n_bits)],
-            )
-            for t in range(n_tables)
-        ]
-    )
+    table, one frame; planes ride a broadcast one-row column
+    (:func:`with_const`), buckets computed in a single projection."""
+    out = with_const(it, "_planes", _planes3(n_bits, n_tables, dim, seed), _PLANES3_T)
     return (
-        it.withColumn("_bkts", buckets)
+        out.withColumn(
+            "_bkts",
+            F.transform(
+                F.col("_planes"), lambda tp: lsh_bucket_col(F.col("_vec"), tp)
+            ),
+        )
         .select(
             "_id",
             "_vec",
@@ -300,24 +354,37 @@ def ivf_topk(
         .collect()
     ]
 
+    # centroid table rides a broadcast one-row column (VERDICT r3 #3 —
+    # n_cells × dim scalar literals otherwise), same (d, cell)
+    # lexicographic array_sort tie-break as the literal form
+    cents_t = "array<struct<cell:bigint,vec:array<double>>>"
+
     def nearest_cells(vec: Column, n: int) -> Column:
-        scored = F.array(
-            *[
-                F.struct(
-                    (-cosine(vec, F.array(*[F.lit(x) for x in cv]))).alias("d"),
-                    F.lit(ci).alias("cell"),
-                )
-                for ci, cv in cents
-            ]
+        scored = F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                (-cosine(vec, c["vec"])).alias("d"), c["cell"].alias("cell")
+            ),
         )
         return F.slice(F.array_sort(scored), 1, n)
 
-    it = items.select(
-        F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("item_vec")
-    ).withColumn("_cell", F.element_at(nearest_cells(F.col("item_vec"), 1), 1).cell)
+    it = (
+        with_const(
+            items.select(
+                F.col(id_col).alias("item_id"),
+                _as_double(F.col(vec_col)).alias("item_vec"),
+            ),
+            "_cents", cents, cents_t,
+        )
+        .withColumn("_cell", F.element_at(nearest_cells(F.col("item_vec"), 1), 1).cell)
+        .drop("_cents")
+    )
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        with_const(
+            queries.select(
+                F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+            ),
+            "_cents", cents, cents_t,
         )
         .withColumn("_cells", nearest_cells(F.col("q_vec"), n_probe))
         .select("q_id", "q_vec", F.explode(F.col("_cells").cell).alias("_cell"))
