@@ -37,6 +37,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, only: list[str]) -> int:
+    # comma-separated sf dirs run the whole contract at each scale in
+    # one process (VERDICT r3 #5: flushes constants that silently
+    # depend on one sf's row counts), reusing the Spark session
+    if "," in sf_dir:
+        rc = 0
+        for d in sf_dir.split(","):
+            print(f"===== {d} =====")
+            rc |= main(d, only)
+        return rc
     spark = get_spark("oracle_check", cpus=16, driver_memory="16g")
     con = duckdb.connect()
     for t in TABLES:

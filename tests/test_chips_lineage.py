@@ -165,3 +165,64 @@ def test_stateful_dedup_stream_resumes_across_runs(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r.k for r in rows} == {"A", "B", "C"}
     assert len(rows) == 3  # B emitted exactly once across runs
+
+
+_RESUME_DRIVER = """
+import sys
+from pyspark.sql import SparkSession
+src, out, ckpt = sys.argv[1:4]
+spark = (SparkSession.builder.master("local[4]")
+         .appName("resume_driver")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.host", "127.0.0.1")
+         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+         .getOrCreate())
+from pyrosar_spark.streaming.stateful import dedup_stream
+stream = spark.readStream.schema("k string, v long").parquet(src)
+q = (dedup_stream(stream, ["k"]).writeStream.format("parquet")
+     .option("path", out).option("checkpointLocation", ckpt)
+     .trigger(availableNow=True).start())
+q.awaitTermination(180)
+spark.stop()
+"""
+
+
+def test_stateful_dedup_resumes_across_driver_processes(spark, tmp_path):
+    """VERDICT r3 #8: the in-process restart test above shares one
+    driver/JVM, so it cannot prove the state survives a real driver
+    death. Here each run is a SEPARATE python/JVM process (killed by
+    exit between runs) against the same checkpoint dir — the actual
+    production resume story."""
+    import subprocess
+    import sys
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    script = tmp_path / "driver.py"
+    script.write_text(_RESUME_DRIVER)
+
+    import os
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo_root}
+
+    def run_driver():
+        proc = subprocess.run(
+            [sys.executable, str(script), src, out, ckpt],
+            cwd=repo_root, env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+
+    spark.createDataFrame([("A", 1), ("B", 2), ("A", 3)], "k string, v long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_driver()
+    assert {r.k for r in spark.read.parquet(out).collect()} == {"A", "B"}
+
+    spark.createDataFrame([("B", 9), ("C", 4)], "k string, v long") \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_driver()
+    rows = spark.read.parquet(out).collect()
+    assert {r.k for r in rows} == {"A", "B", "C"}
+    assert len(rows) == 3  # B never re-emitted across processes
