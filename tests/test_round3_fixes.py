@@ -195,16 +195,23 @@ def test_iceberg_merge_sql_golden():
 
     stmts = insert_scenes_merge_sql("c.s.scenes", "c.s.duplicates", "staged")
     assert len(stmts) == 2
-    # duplicates MERGE must come FIRST (reads the data table before the
-    # insert MERGE changes it) and route same-key different-scene rows
-    assert stmts[0].startswith("MERGE INTO c.s.duplicates")
-    assert "t.scene <> s.scene" in stmts[0]
-    assert "WHEN NOT MATCHED THEN INSERT (outname_base, scene)" in stmts[0]
-    # insert MERGE: first registration per (product, outname_base) wins
-    assert stmts[1].startswith("MERGE INTO c.s.scenes")
-    assert "t.product = s.product AND t.outname_base = s.outname_base" in stmts[1]
-    assert "PARTITION BY s.product, s.outname_base ORDER BY s.doc_id" in stmts[1]
-    assert "WHEN NOT MATCHED THEN INSERT *" in stmts[1]
+    # data MERGE comes FIRST (round 4: its registered-scene guards must
+    # see the pre-batch state of both tables, like insert_scenes'
+    # anti-joins); first registration per (product, outname_base) wins
+    assert stmts[0].startswith("MERGE INTO c.s.scenes")
+    assert "t.product = s.product AND t.outname_base = s.outname_base" in stmts[0]
+    assert "PARTITION BY s.product, s.outname_base ORDER BY s.doc_id" in stmts[0]
+    assert "WHEN NOT MATCHED THEN INSERT *" in stmts[0]
+    assert stmts[0].count("NOT EXISTS") == 2  # scene ∉ data, scene ∉ dups
+    # duplicates MERGE second: rank>1 arrivals + demoted rank-1 rows,
+    # with this batch's own insertions exempted via doc_id
+    assert stmts[1].startswith("MERGE INTO c.s.duplicates")
+    assert "_rk > 1" in stmts[1]
+    assert "b.doc_id = r.doc_id" in stmts[1]
+    assert "WHEN NOT MATCHED THEN INSERT (outname_base, scene)" in stmts[1]
+    assert stmts[1].count("NOT EXISTS") == 4
+    # executed-semantics parity with ingest.insert_scenes lives in
+    # tests/test_merge_exec.py (DuckDB differential)
 
 
 # -- ADVICE r2: attribute-tolerant XML + SM->swath + typed orbit numbers ------
