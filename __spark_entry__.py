@@ -1115,6 +1115,89 @@ def q_embedding_dup_pairs(spark, sf):
     ).orderBy("a", "b")
 
 
+def _run_stream_to_memory(df_stream, name_prefix: str):
+    """Execute a streaming aggregation to a complete-mode memory sink
+    with Trigger.AvailableNow (drain everything, then stop) and return
+    the result table — a genuinely incremental Structured Streaming
+    execution whose FINAL output is deterministic, hence ORACLE-able
+    against batch SQL (round 4: upgrades streaming coverage from
+    golden-only to oracle-exact)."""
+    import tempfile
+    import uuid
+
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df_stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{name}_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return name
+
+
+def q_stream_sessions(spark, sf):
+    """Sessionization as a STREAM (SURVEY §2.11, ``groupbyTime`` →
+    ``session_window``, reference ``ancillary.py:73-108``): the events
+    table replayed through the file-stream source, session_window
+    aggregation per user (30-min gap, chained-merge semantics),
+    complete-mode memory sink. Final output equals the batch
+    session_window result; oracle = gap-and-islands SQL (new session
+    when the µs delta ≥ gap, mirroring Spark's half-open [start,
+    last+gap) windows)."""
+    import os
+
+    src = f"{str(sf).rstrip('/')}/events.parquet"
+    stage = f"{_oracle_dir(sf)}/events_stream"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+    sch = spark.read.parquet(src).schema
+    ep = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    sessions = (
+        spark.readStream.schema(sch).parquet(stage)
+        .groupBy(F.session_window(F.col("ts"), "1800 seconds").alias("session"),
+                 "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select("user_id", ep("session.start").alias("session_start_us"),
+                ep("session.end").alias("session_end_us"),
+                "n_events", "sum_value")
+    )
+    name = _run_stream_to_memory(sessions, "stream_sessions")
+    return spark.table(name).orderBy("user_id", "session_start_us")
+
+
+def q_stream_ingest_keys(spark, sf):
+    """Streaming ingest (SURVEY §2.11 ``streaming.incremental``): the
+    interleaved-document corpus replayed through the file-stream
+    source, ``docs_to_scenes`` span parse ON THE STREAM (pruned to the
+    outname fields), catalog-key counts in a stateful complete-mode
+    aggregation. The oracle re-derives the keys from the SAME handoff
+    parquet entirely in DuckDB — list_filter for the first scene_meta
+    span, json_extract of the payload, rpad outname_base — so the
+    streaming parse is checked against a first-principles SQL parse,
+    not a Spark-side handoff of its own output."""
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+
+    docs_path = f"{_oracle_dir(sf)}/docs.parquet"
+    _handoff(docs_from_corpus(spark, sf), "docs", sf)
+    sch = spark.read.parquet(docs_path).schema
+    stream = spark.readStream.schema(sch).parquet(docs_path)
+    keys = (
+        docs_to_scenes(stream, with_geometry=False,
+                       columns=["product", "outname_base"])
+        .groupBy("product", "outname_base")
+        .agg(F.count("*").alias("n"))
+    )
+    name = _run_stream_to_memory(keys, "stream_ingest_keys")
+    return spark.table(name).orderBy("product", "outname_base")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1162,6 +1245,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "odc_emit": q_odc_emit,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "token_bpe": q_token_bpe,
+        "stream_sessions": q_stream_sessions,
+        "stream_ingest_keys": q_stream_ingest_keys,
     }
 
 
@@ -1638,7 +1723,78 @@ def oracle_sql() -> dict[str, str]:
     out.update(_pixel_oracle_sqls())
     out.update(_odc_oracle_sqls())
     out.update(_format_oracle_sqls())
+    out.update(_stream_oracle_sqls())
     return out
+
+
+def _stream_oracle_sqls() -> dict[str, str]:
+    """Oracles for the STREAMING queries (round 4). The streaming
+    executions are incremental (file-stream source, stateful agg,
+    AvailableNow drain) but their final complete-mode output is
+    deterministic, so exact batch SQL applies:
+
+     - ``stream_sessions``: gap-and-islands sessionization. Spark's
+       ``session_window`` merges an event into a session iff it falls
+       inside the half-open window [start, last+gap), so a NEW session
+       starts when the µs delta to the previous event is >= the gap.
+     - ``stream_ingest_keys``: the span parse re-derived from the raw
+       docs handoff entirely in SQL — first scene_meta span via
+       list_filter, json_extract of the payload after the '|', the
+       rpad-4 outname_base build (naming.py:42) — checking the
+       streaming docs_to_scenes against an independent parser.
+    """
+    gap_us = 1800 * 1_000_000
+    return {
+        "stream_sessions": f"""
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS t, value FROM events
+            ), f AS (
+                SELECT user_id, t, value,
+                       CASE WHEN lag(t) OVER w IS NULL
+                                 OR t - lag(t) OVER w >= {gap_us}
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM e
+                WINDOW w AS (PARTITION BY user_id ORDER BY t)
+            ), g AS (
+                SELECT user_id, t, value,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS sid
+                FROM f
+            )
+            SELECT user_id,
+                   min(t) AS session_start_us,
+                   max(t) + {gap_us} AS session_end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM g GROUP BY user_id, sid
+            ORDER BY user_id, session_start_us
+        """,
+        "stream_ingest_keys": f"""
+            WITH m AS (
+                SELECT list_filter(spans, x -> x.kind = 'scene_meta')[1].text
+                       AS t
+                FROM {_oracle_scan('docs')}
+            ), j AS (
+                SELECT substr(t, strpos(t, '|') + 1) AS p FROM m
+                WHERE t IS NOT NULL
+            ), f AS (
+                SELECT json_extract_string(p, '$.sensor') AS sensor,
+                       json_extract_string(p, '$.acquisition_mode') AS mode,
+                       json_extract_string(p, '$.orbit') AS orbit,
+                       json_extract_string(p, '$.start') AS "start",
+                       json_extract_string(p, '$.product') AS product
+                FROM j
+            )
+            SELECT product,
+                   concat_ws('_', rpad(sensor, 4, '_'), rpad(mode, 4, '_'),
+                             orbit, "start") AS outname_base,
+                   count(*) AS n
+            FROM f WHERE sensor IS NOT NULL
+            GROUP BY product, outname_base
+            ORDER BY product, outname_base
+        """,
+    }
 
 
 def _format_oracle_sqls() -> dict[str, str]:
