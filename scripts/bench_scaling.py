@@ -203,22 +203,67 @@ SMT contention plus this VM's exogenous load phases, not code. The
 executor-scaling proxy; 4 → 16 is reported alongside as the in-box
 scale-up number with those single-socket artifacts included.
 
-## Kernel A/B: Arrow simhash vs interpreted HOF (round 3)
+**4 → 16 decomposition (round 3, measured; round-4 follow-up below).**
+Candidate terms measured one at a time in quiet windows: *GC* — G1 →
+ParallelGC moved local[16] 22.6 → 20.1 s, adopted, term gone. *Python
+UDF workers* — a JVM-only variant (no Arrow polygon refine) is NOT
+faster at local[16], so worker contention is not binding. *DRAM
+streaming* — `bw_probe.py` per-worker throughput flat to 16 workers.
+Remainder attributed to the allocation-heavy Jackson `from_json` parse
+sharing one socket's L3/allocation path, plus exogenous VM storms.
+
+**Round-4 follow-up — the named `from_json` term was attacked, and the
+incumbent won.** `scripts/bench_parse.py` A/Bs the catalog parse
+kernel on the flagship shape (8M docs, local[16], min-of-5, quiet
+window, hash-verified identical rows):
+
+| kernel | flagship 9-col | full 17-field |
+|---|---|---|
+| pruned `from_json` (incumbent) | **8.18 s** | **10.71 s** |
+| `json_tuple` one-pass + array sub-parse | 13.71 s | 15.11 s |
+| `get_json_object` per-field | 23.61 s | 40.97 s |
+
+The path-probe alternatives lose because `json_tuple`'s Generate
+breaks whole-stage codegen and `get_json_object` re-lexes the whole
+payload once per field, while the pruned `from_json` lexes once and
+allocates only the needed fields. Both alternates remain selectable
+(`docs_to_scenes(parser=...)`) as the documented A/B. Conclusion: the
+4→16 in-box residual is not removable by a better parse kernel; it is
+the single-socket artifact the 2→8 pair deliberately avoids.
+
+## Kernel A/B: Arrow simhash vs interpreted HOF
 
 `scripts/bench_simhash.py`, sf0.1 documents (5,000 docs), local[16],
 min of 3 reps after warm-up, identical md5-portable output verified
-byte-equal by test + oracle:
+byte-equal by test + oracle. Round 4 re-measured after batch-level
+vectorization (one `np.unique` digest pass per Arrow batch + chunked
+`np.add.reduceat` segment sign-sums, memory-bounded ~32 MB):
 
 ```
-{{"n_docs": 5000, "arrow_sec": 0.552, "hof_sec": 44.981, "speedup": 81.48}}
+{{"n_docs": 5000, "arrow_sec": 0.467, "hof_sec": 43.835, "speedup": 93.95}}
 ```
 
-The 64-wide interpreted `aggregate`/`zip_with` HOF form costs
-~9 ms/doc; the numpy batch sign-sum (`dedup.simhash64_udf`)
-~0.11 ms/doc — the same ~100× interpreted-HOF penalty this repo
-measured for shingles in round 2, now eliminated from the last hot
-kernel. `simhash_pairs` auto-selects the Arrow kernel whenever the
-md5 hash family is in use.
+(round 3: arrow 0.552 s / 81×.) The 64-wide interpreted
+`aggregate`/`zip_with` HOF form costs ~9 ms/doc; the numpy batch
+kernel ~0.09 ms/doc. `simhash_pairs` auto-selects the Arrow kernel
+whenever the md5 hash family is in use; NULL text propagates NULL in
+both kernels (round 4).
+
+## ANN constant plumbing: broadcast row vs expression literals (round 4)
+
+`scripts/plan_size_ann.py`, production-ish configs, exact value parity
+asserted over every row:
+
+| config | literal tree | broadcast row |
+|---|---|---|
+| LSH 32 bits × 4 tables × 64 dim — analysis | 7.92 s | **0.32 s** |
+| LSH — analyzed-plan chars | 1,068,352 | **7,116** |
+| IVF 256 cells × 64 dim — analysis | 18.61 s | **0.18 s** |
+| IVF — analyzed-plan chars | 1,081,895 | **7,220** |
+
+Hyperplanes/centroids ride one broadcast LocalRelation row
+(`similarity.with_const`); bucket bits via Horner aggregation over the
+reversed plane list — same math, O(1) plan size in the index config.
 
 ## Ingest/checkpoint stage (measured separately)
 
