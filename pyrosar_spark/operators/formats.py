@@ -473,14 +473,128 @@ def _core(df: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
+def _packed(df: DataFrame, parse_fn, name: str, present: Column) -> DataFrame:
+    """Run one dialect parser over its (mostly-NULL) text column and
+    pack its outputs into a single nullable struct with the shared CORE
+    shape — NULL unless the span is present AND the parser produced a
+    sensor. The parser's raw output columns are dropped immediately, so
+    successive dialects never collide on names."""
+    parsed = parse_fn(df)
+    new_cols = set(parsed.columns) - set(df.columns)
+    fields = [
+        (F.col(c) if c in new_cols else F.lit(None))
+        .cast(_CORE_TYPES.get(c, "string"))
+        .alias(c)
+        for c in CORE_COLUMNS
+        if c != "doc_id"
+    ]
+    struct = F.when(present & F.col("sensor").isNotNull(), F.struct(*fields))
+    return parsed.select(*df.columns, struct.alias(name))
+
+
 def identify_spans(docs: DataFrame) -> DataFrame:
-    """``identify_many`` across every metadata dialect: route each
-    document's first recognized metadata span through its parser and
-    union the results into the shared catalog schema (one row per
-    identifiable document, like the reference's ``identify`` cascade
-    over handler classes, ``drivers.py:118-160``). Documents with no
-    recognized metadata span are dropped — ``identify_many``'s skip
-    semantics."""
+    """``identify_many`` across every metadata dialect — SINGLE PASS
+    (round 4): one projection lifts every dialect's span text out of
+    the spans array, every parser runs as pure column expressions over
+    its (mostly-NULL) text column in the same stage, and the
+    per-dialect structs coalesce by handler priority (JSON, SAFE,
+    DIMAP, TDM, TSX, PSR — a TSX span with a TDM sibling is the TDM
+    master, so TDM-before-TSX priority replaces the old anti-join).
+    One row per identifiable document, FIRST recognized dialect wins —
+    the reference's ``identify`` cascade semantics
+    (``drivers.py:118-160``; the previous 6-branch union emitted one
+    row per matching dialect and scanned the input once per branch —
+    6× the I/O at 100 TB). Documents with no recognized metadata span
+    are dropped. The coalesced struct is bound behind a Generate
+    barrier so the whole cascade evaluates once per row."""
+    from pyrosar_spark.operators.dedup import bind
+    from pyrosar_spark.operators.xmlmeta import parse_safe_manifest
+
+    kinds = {
+        "t_json": "scene_meta", "t_safe": "scene_meta_xml",
+        "t_dimap": "scene_meta_dimap", "t_tsx": "scene_meta_tsx",
+        "t_tdm": "scene_meta_tdm", "t_psr": "scene_meta_psr",
+        "t_facter": "scene_meta_psr_facter",
+    }
+    cur = docs.select(
+        "doc_id", *[_span_text(k).alias(a) for a, k in kinds.items()]
+    )
+    lift_cols = list(cur.columns)
+
+    # JSON dialect inline (the docs_to_scenes parse pruned to the CORE
+    # fields; one from_json behind a Generate barrier)
+    schema = (
+        "sensor string, acquisition_mode string, product string, orbit string,"
+        " start string, stop string, orbitNumber_abs int, orbitNumber_rel int,"
+        " cycleNumber int, frameNumber int, samples int, lines int,"
+        " polarizations array<string>, coordinates array<array<double>>"
+    )
+    cur = bind(
+        cur,
+        "_mj",
+        F.from_json(
+            F.expr("substring(t_json, instr(t_json, '|') + 1)"), schema
+        ),
+    )
+    m = F.col("_mj")
+    lons = F.transform(m["coordinates"], lambda c: F.element_at(c, 1))
+    lats = F.transform(m["coordinates"], lambda c: F.element_at(c, 2))
+    json_fields = {
+        **{c: m[c] for c in (
+            "sensor", "acquisition_mode", "product", "orbit", "start", "stop",
+            "orbitNumber_abs", "orbitNumber_rel", "cycleNumber", "frameNumber",
+            "samples", "lines", "coordinates",
+        )},
+        # fixed-order known-pol normalization (matches the catalog's
+        # denormalized flag order)
+        "polarizations": F.array_intersect(
+            F.array(*[F.lit(p) for p in ("HH", "VV", "HV", "VH")]),
+            m["polarizations"],
+        ),
+        "xmin": F.array_min(lons), "xmax": F.array_max(lons),
+        "ymin": F.array_min(lats), "ymax": F.array_max(lats),
+        "outname_base": outname_base_col(
+            m["sensor"], m["acquisition_mode"], m["orbit"], m["start"]
+        ),
+    }
+    json_struct = F.when(
+        F.col("t_json").isNotNull() & m["sensor"].isNotNull(),
+        F.struct(
+            *[
+                json_fields[c].cast(_CORE_TYPES.get(c, "string")).alias(c)
+                for c in CORE_COLUMNS
+                if c != "doc_id"
+            ]
+        ),
+    )
+    cur = cur.select(*lift_cols, json_struct.alias("_p_json"))
+
+    dialects = [
+        ("_p_safe", lambda d: parse_safe_manifest(d, "t_safe"), "t_safe"),
+        ("_p_dimap", lambda d: parse_dimap(d, "t_dimap"), "t_dimap"),
+        ("_p_tdm", lambda d: parse_tdm(d, "t_tdm", "t_tsx"), "t_tdm"),
+        ("_p_tsx", lambda d: parse_tsx(d, "t_tsx"), "t_tsx"),
+        ("_p_psr", lambda d: parse_psr_text(d, "t_psr", "t_facter"), "t_psr"),
+    ]
+    for name, fn, text in dialects:
+        cur = _packed(cur, fn, name, F.col(text).isNotNull())
+
+    out = bind(
+        cur,
+        "_m",
+        F.coalesce(
+            "_p_json", "_p_safe", "_p_dimap", "_p_tdm", "_p_tsx", "_p_psr"
+        ),
+    )
+    return out.where(F.col("_m").isNotNull()).select("doc_id", "_m.*")
+
+
+def identify_spans_union(docs: DataFrame) -> DataFrame:
+    """The round-3 multi-branch form (one filtered scan + parse per
+    dialect, results unioned): retained for A/B against the single-pass
+    funnel above. Emits one row PER MATCHING DIALECT for a document
+    carrying several metadata spans, where the single-pass form (like
+    the reference cascade) emits only the highest-priority one."""
     from pyrosar_spark.operators.ingest import docs_to_scenes
     from pyrosar_spark.operators.xmlmeta import xml_docs_to_scenes
 

@@ -301,3 +301,55 @@ def test_identify_spans_mixed_corpus(spark):
     # shared schema: every row carries the same core columns
     for r in out.values():
         assert r["outname_base"] is not None
+
+
+def test_identify_spans_single_pass_matches_union(spark):
+    """Round 4: the single-pass coalesce funnel must agree with the
+    multi-branch union on single-dialect documents, and implement the
+    reference cascade's FIRST-match-wins on multi-dialect ones (the
+    union emits one row per matching dialect)."""
+    from pyrosar_spark.datagen import golden_documents
+    from pyrosar_spark.operators.formats import (
+        identify_spans,
+        identify_spans_union,
+    )
+
+    def doc(doc_id, spans):
+        return (doc_id, [(k, t, "", i) for i, (k, t) in enumerate(spans)])
+
+    rows = [
+        doc("dimap_doc", [("scene_meta_dimap", DIMAP_S1)]),
+        doc("tsx_doc", [("scene_meta_tsx", TSX_XML)]),
+        doc("tdm_doc", [("scene_meta_tdm", TDM_XML), ("scene_meta_tsx", TSX_XML)]),
+        doc("psr_doc", [("scene_meta_psr", PSR_HDR),
+                        ("scene_meta_psr_facter", PSR_FACTER)]),
+        doc("noise_doc", [("text", "no metadata here")]),
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    docs = spark.createDataFrame(rows, schema).unionByName(
+        golden_documents(spark)
+    )
+    sp = sorted(map(tuple, identify_spans(docs).collect()))
+    un = sorted(map(tuple, identify_spans_union(docs).collect()))
+    assert sp == un  # single-dialect corpus: identical rows either way
+
+    # a document carrying TWO recognized dialects: cascade picks the
+    # higher-priority JSON parse once; the union double-emits
+    json_span = (
+        golden_documents(spark)
+        .where(F.col("doc_id") == "golden_s1")
+        .select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "scene_meta")
+        .collect()[0]["s"]
+    )
+    multi = spark.createDataFrame(
+        [("multi_doc",
+          [("scene_meta", json_span.text, "", 0),
+           ("scene_meta_dimap", DIMAP_S1, "", 1)])], schema
+    )
+    got_sp = identify_spans(multi).collect()
+    got_un = identify_spans_union(multi).collect()
+    assert len(got_sp) == 1 and got_sp[0]["sensor"] == "S1A"
+    assert got_sp[0]["outname_base"] == "S1A__IW___A_20150222T170750"  # JSON won
+    assert len(got_un) == 2  # the union's documented double-emit
