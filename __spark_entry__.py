@@ -1134,7 +1134,11 @@ def _run_stream_to_memory(df_stream, name_prefix: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    # a timed-out drain must FAIL, not silently hand back a partial
+    # complete-mode table (round-4 review)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(f"streaming drain {name} did not finish in 600s")
     return name
 
 
@@ -2068,7 +2072,10 @@ def _scene_oracle_sqls() -> dict[str, str]:
         """,
         "simhash_pairs": f"""
             WITH toks AS (
+                -- NULL text propagates NULL in the engine (both
+                -- kernels, round 4): NULL-text docs emit no pairs
                 SELECT doc_id, {_TOKS} AS tk FROM documents
+                WHERE text IS NOT NULL
             ), hs AS (
                 SELECT doc_id, [{_md5num("t || '#0'")} FOR t IN tk] AS hs FROM toks
             ), sim AS (

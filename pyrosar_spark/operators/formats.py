@@ -522,13 +522,18 @@ def identify_spans(docs: DataFrame) -> DataFrame:
     lift_cols = list(cur.columns)
 
     # JSON dialect inline (the docs_to_scenes parse pruned to the CORE
-    # fields; one from_json behind a Generate barrier)
-    schema = (
-        "sensor string, acquisition_mode string, product string, orbit string,"
-        " start string, stop string, orbitNumber_abs int, orbitNumber_rel int,"
-        " cycleNumber int, frameNumber int, samples int, lines int,"
-        " polarizations array<string>, coordinates array<array<double>>"
-    )
+    # fields; one from_json behind a Generate barrier). Field names and
+    # types come from the SAME table ingest.docs_to_scenes parses from
+    # (round-4 review: a hand-copied schema string would silently drift
+    # if META_JSON_SCHEMA changes).
+    from pyrosar_spark.operators.ingest import _META_FIELD_TYPES
+
+    json_needed = {
+        "sensor", "acquisition_mode", "product", "orbit", "start", "stop",
+        "orbitNumber_abs", "orbitNumber_rel", "cycleNumber", "frameNumber",
+        "samples", "lines", "polarizations", "coordinates",
+    }
+    schema = ", ".join(f"{n} {t}" for n, t in _META_FIELD_TYPES if n in json_needed)
     cur = bind(
         cur,
         "_mj",

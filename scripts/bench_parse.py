@@ -49,12 +49,18 @@ def main() -> None:
         ).parquet(docs_path)
     docs = spark.read.parquet(docs_path)
 
-    # parity at small scale first (hash over full catalog columns)
+    # parity at small scale first (hash over full catalog columns,
+    # ALL three kernels — the docstring's equivalence claim is only as
+    # good as this check)
     small = generate_documents(spark, 20_000, seed=7)
-    h_fj = force(docs_to_scenes(small, with_geometry=False, parser="from_json"))
-    h_jt = force(docs_to_scenes(small, with_geometry=False, parser="json_tuple"))
-    print(f"parity full-catalog 20k docs: from_json={h_fj} json_tuple={h_jt} "
-          f"{'OK' if h_fj == h_jt else 'MISMATCH'}")
+    hashes = {
+        p: force(docs_to_scenes(small, with_geometry=False, parser=p))
+        for p in ("from_json", "json_tuple", "get_json_object")
+    }
+    ok = len(set(hashes.values())) == 1
+    print(f"parity full-catalog 20k docs: {hashes} {'OK' if ok else 'MISMATCH'}")
+    if not ok:
+        raise SystemExit("parser kernels disagree — fix before benchmarking")
 
     shapes = {
         "flagship9": dict(with_geometry="defer", columns=FLAGSHIP_COLS),

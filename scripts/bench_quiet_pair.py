@@ -56,14 +56,15 @@ def run(cpus: int, reps: int) -> list[float]:
          path],
         capture_output=True, text=True, check=True,
     )
-    print(out.stderr.splitlines()[-reps:] and "\n".join(
-        line for line in out.stderr.splitlines() if line.startswith("rep")
-    ))
+    for line in out.stderr.splitlines():
+        if line.startswith("rep"):
+            print(f"local[{cpus}] {line}")
     return json.loads([l for l in out.stdout.splitlines() if l.startswith("[")][-1])
 
 
 def main() -> None:
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 9
+    # first 2 reps are warm-up and excluded from the min — need >= 3
+    reps = max(int(sys.argv[1]) if len(sys.argv) > 1 else 9, 3)
     t4 = run(4, reps)
     t16 = run(16, reps)
     b4, b16 = min(t4[2:]), min(t16[2:])

@@ -46,6 +46,17 @@ def main(sf_dir: str, only: list[str]) -> int:
             print(f"===== {d} =====")
             rc |= main(d, only)
         return rc
+    # the driver's oracle strings are pinned to sf0.01 handoffs
+    # (_ORACLE_SF — a bench run must not clobber the correctness dir);
+    # for a LOCAL multi-scale check the oracle must read the SAME
+    # scale's handoffs as the queries write, so rebind the pin to this
+    # run's sf before materializing the SQL strings (round-4 review:
+    # without this, every handoff-backed oracle at sf!=0.01 compared
+    # against the wrong scale's data — sf0.001 only passed because the
+    # documents corpus is identical at sf0.001 and sf0.01)
+    import os
+
+    entry_mod._ORACLE_SF = os.path.basename(sf_dir.rstrip("/"))
     spark = get_spark("oracle_check", cpus=16, driver_memory="16g")
     con = duckdb.connect()
     for t in TABLES:
