@@ -1,0 +1,143 @@
+"""Plan-shape assertions for the hot operators (round 4).
+
+Correctness oracles check ANSWERS; these tests check the PHYSICAL PLAN
+properties the 100-TB design depends on, so a refactor that silently
+de-optimizes a path (drops predicate pushdown, introduces a cartesian
+product, re-adds a per-branch scan, moves a hot expression out of the
+Generate barrier) fails CI instead of surfacing as a cluster bill.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def catalog_parquet(spark, tmp_path_factory):
+    """A scene catalog written to parquet — the storage shape whose
+    scan the select() predicates must prune."""
+    from pyrosar_spark.datagen import generate_documents
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+
+    path = str(tmp_path_factory.mktemp("cat") / "scenes.parquet")
+    docs_to_scenes(generate_documents(spark, 2_000, seed=3),
+                   with_geometry=False).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_select_predicates_reach_the_scan(spark, catalog_parquet):
+    """P1/P4/P7 filters must be PushedFilters on the parquet scan and
+    the projection must prune ReadSchema to the referenced columns."""
+    from pyrosar_spark.operators.select import select
+
+    out = select(
+        catalog_parquet,
+        sensor="S1A",
+        mindate="20150101T000000",
+        maxdate="20151231T235959",
+        polarizations=["VV"],
+        return_value=["doc_id", "start"],
+    )
+    p = plan(out)
+    assert "PushedFilters:" in p
+    pushed = p.split("PushedFilters:")[1].split("]")[0]
+    for field in ("sensor", "start", "stop", "vv"):
+        assert field in pushed, (field, pushed)
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "corners" not in read_schema and "scene" not in read_schema
+
+
+def test_docs_scan_prunes_to_spans(spark, tmp_path):
+    """The flagship parse reads ONLY (doc_id, spans) from the documents
+    table — full-column reads at 100 TB are a design failure."""
+    from pyrosar_spark.datagen import generate_documents
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+
+    path = str(tmp_path / "docs.parquet")
+    generate_documents(spark, 1_000, seed=4).withColumn(
+        "payload", F.repeat(F.lit("x"), 10)
+    ).write.parquet(path)
+    docs = spark.read.parquet(path)
+    out = docs_to_scenes(docs, with_geometry="defer",
+                         columns=["doc_id", "start", "stop"])
+    p = plan(out)
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "spans" in read_schema and "doc_id" in read_schema
+    assert "payload" not in read_schema
+
+
+def test_no_cartesian_products_in_hot_paths(spark, catalog_parquet):
+    """Candidate generation is always an equi-join on a derived key —
+    never CartesianProduct. (cosine_topk's crossJoin against a
+    broadcast <=k-row query side is BroadcastNestedLoopJoin by design
+    and asserted as such.)"""
+    from pyrosar_spark.operators.dedup import near_dup_pairs, simhash_pairs
+    from pyrosar_spark.operators.similarity import cosine_dup_pairs, cosine_topk
+    from pyrosar_spark.operators.spatial import knn_scenes
+
+    docs = spark.createDataFrame(
+        [(str(i), f"text body number {i % 7} common tokens") for i in range(50)],
+        "doc_id string, text string",
+    )
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.rand(7 + i)) for i in range(8)]).alias("embedding"),
+    )
+    hot = {
+        "near_dup": near_dup_pairs(docs),
+        "simhash": simhash_pairs(docs, hash_mode="md5"),
+        "cos_dup": cosine_dup_pairs(emb, dim=8),
+        "knn": knn_scenes(
+            catalog_parquet.select("doc_id", "xmin", "xmax", "ymin", "ymax"), k=3
+        ),
+    }
+    for name, df in hot.items():
+        assert "CartesianProduct" not in plan(df), name
+    topk = cosine_topk(emb, emb.limit(2), k=3, vec_col="embedding")
+    p = plan(topk)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the intended broadcast shape
+
+
+def test_parse_is_bound_once_per_row(spark):
+    """Exactly ONE from_json in the flagship parse plan (the Generate
+    barrier pins it): CollapseProject inlining the Jackson parse into
+    every downstream reference was the round-1 anti-scaling bug."""
+    from pyrosar_spark.datagen import generate_documents
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+
+    docs = generate_documents(spark, 500, seed=5)
+    p = plan(docs_to_scenes(docs, with_geometry=False))
+    assert p.count("from_json") == 1, p.count("from_json")
+
+
+def test_identify_spans_single_scan(spark, tmp_path):
+    """The dialect cascade reads its input exactly once (round 4: the
+    union form scanned it 7x)."""
+    from pyrosar_spark.datagen import generate_documents
+    from pyrosar_spark.operators.formats import identify_spans
+
+    path = str(tmp_path / "docs.parquet")
+    generate_documents(spark, 500, seed=6).write.parquet(path)
+    p = plan(identify_spans(spark.read.parquet(path)))
+    assert p.count("FileScan") == 1
+
+
+def test_python_stages_are_arrow(spark):
+    """Any Python in a hot plan is Arrow-batched (ArrowEvalPython /
+    FlatMapGroupsInPandas / MapInPandas) — never row-at-a-time
+    BatchEvalPython."""
+    from pyrosar_spark.datagen import generate_documents
+    from pyrosar_spark.operators.ingest import docs_to_scenes
+    from pyrosar_spark.operators.select import select
+
+    scenes = docs_to_scenes(generate_documents(spark, 500, seed=7))
+    sel = select(scenes, aoi_wkt="POLYGON((0 0, 20 0, 20 20, 0 20, 0 0))")
+    p = plan(sel)
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" in p  # the exact-polygon refine
