@@ -1115,6 +1115,18 @@ def q_embedding_dup_pairs(spark, sf):
     ).orderBy("a", "b")
 
 
+def q_pack_bins(spark, sf):
+    """Sequence packing (training-pipeline op): documents → fixed
+    token-budget bins via ONE window cumulative sum per (source,
+    shard); per-bin fill stats. md5-portable shard hash so the oracle
+    reproduces the sharding literally."""
+    from pyrosar_spark.operators.packing import bin_stats, pack_documents
+
+    d = _t(spark, sf, "documents")
+    packed = pack_documents(d, budget=512, n_shards=2, hash_mode="md5")
+    return bin_stats(packed).orderBy("source", "shard", "bin_id")
+
+
 def _run_stream_to_memory(df_stream, name_prefix: str):
     """Execute a streaming aggregation to a complete-mode memory sink
     with Trigger.AvailableNow (drain everything, then stop) and return
@@ -1251,6 +1263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_bpe": q_token_bpe,
         "stream_sessions": q_stream_sessions,
         "stream_ingest_keys": q_stream_ingest_keys,
+        "pack_bins": q_pack_bins,
     }
 
 
@@ -1773,6 +1786,29 @@ def _stream_oracle_sqls() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM g GROUP BY user_id, sid
             ORDER BY user_id, session_start_us
+        """,
+        "pack_bins": f"""
+            WITH t AS (
+                SELECT source, doc_id,
+                       len(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) AS tokens,
+                       cast({_md5num("cast(doc_id as varchar) || '#0'")} % 2
+                            as int) AS shard
+                FROM documents
+            ), c AS (
+                SELECT source, doc_id, shard, tokens,
+                       sum(tokens) OVER (PARTITION BY source, shard
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum
+                FROM t
+            )
+            SELECT source, shard, cast((cum - tokens) // 512 as bigint) AS bin_id,
+                   cast(count(*) as bigint) AS n_docs,
+                   cast(sum(tokens) as bigint) AS bin_tokens,
+                   min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM c GROUP BY source, shard, bin_id
+            ORDER BY source, shard, bin_id
         """,
         "stream_ingest_keys": f"""
             WITH m AS (

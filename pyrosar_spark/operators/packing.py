@@ -1,0 +1,95 @@
+"""Sequence packing for pretraining pipelines: assign documents to
+fixed-token-budget bins.
+
+A training-data pipeline turns a document corpus into fixed-length
+training sequences; the packing step decides which documents share a
+context window. The scalable columnar form is CUMULATIVE-FILL packing:
+within each (key, shard) stream, documents in a deterministic order
+are assigned ``bin_id = floor((cumsum_tokens - tokens) / budget)`` —
+i.e. a document starts the bin its first token lands in. This is the
+standard approximation to greedy first-fit (documents may straddle a
+budget boundary; the trainer's loader truncates/continues across the
+seam) and, unlike greedy-reset packing, it is expressible as ONE
+window cumulative sum — no per-group iteration, exact SQL oracle.
+
+Scale notes: a window over ``partitionBy(key)`` alone concentrates a
+10^12-doc source into one task; ``n_shards`` salts the stream
+(``pmod(xxhash64(id), n_shards)``) so each shard packs independently —
+deterministic, parallel, and bins never cross shards. Shuffle: exactly
+one, on (key, shard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from pyrosar_spark.operators.textstats import token_count_ws
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int = 2048,
+    token_col: Column | str | None = None,
+    id_col: str = "doc_id",
+    key_cols: tuple[str, ...] = ("source",),
+    n_shards: int = 1,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Assign each document a ``(shard, bin_id, bin_offset)`` under a
+    token ``budget`` per bin.
+
+    ``token_col``: a column/expression with the document's token count
+    (defaults to the whitespace tokenizer); ``bin_offset`` is where the
+    document's first token lands inside its bin — the loader-side
+    placement cursor. ``hash_mode='md5'`` selects the engine-portable
+    shard hash (reproducible in SQL oracles); the default ``xxhash64``
+    is the fast JVM-native path.
+    """
+    from pyrosar_spark.operators.dedup import portable_hash64
+
+    tokens = (
+        token_count_ws(F.col("text"))
+        if token_col is None
+        else (F.col(token_col) if isinstance(token_col, str) else token_col)
+    ).cast("long")
+    shard = F.pmod(
+        portable_hash64(F.col(id_col).cast("string"), 0, hash_mode),
+        F.lit(n_shards),
+    ).cast("int")
+    out = df.select(
+        *key_cols, F.col(id_col), shard.alias("shard"), tokens.alias("tokens")
+    )
+    w = (
+        W.partitionBy(*key_cols, "shard")
+        .orderBy(F.col(id_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("tokens").over(w)
+    start = (cum - F.col("tokens")).alias("stream_pos")
+    return out.select(
+        *key_cols,
+        id_col,
+        "shard",
+        "tokens",
+        F.floor((cum - F.col("tokens")) / budget).cast("long").alias("bin_id"),
+        F.pmod(cum - F.col("tokens"), F.lit(budget).cast("long")).alias("bin_offset"),
+        start,
+    )
+
+
+def bin_stats(packed: DataFrame, key_cols: tuple[str, ...] = ("source",)) -> DataFrame:
+    """Per-bin fill statistics: document count, token sum, and the
+    first/last document ids — the packing QA surface (a bin whose
+    token sum wildly exceeds its budget means pathological documents
+    that should be split upstream)."""
+    return (
+        packed.groupBy(*key_cols, "shard", "bin_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
