@@ -1115,6 +1115,61 @@ def q_embedding_dup_pairs(spark, sf):
     ).orderBy("a", "b")
 
 
+def q_dedup_clusters(spark, sf):
+    """Connected components over the near-dup pair graph: doc →
+    cluster root (min id) + component size — the keep/drop decision
+    step after pairwise dedup. Spark side is iterative min-label
+    propagation (one shuffle per round, diameter-bounded); the oracle
+    is a recursive CTE transitive closure over the same pair SQL."""
+    from pyrosar_spark.operators.dedup import dedup_clusters, near_dup_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = near_dup_pairs(
+        d, "text", "doc_id", n_hashes=16, n_bands=4, shingle_k=2,
+        threshold=0.2, max_bucket=1 << 40,
+    )
+    labels = dedup_clusters(pairs)
+    w = W.partitionBy("cluster_id")
+    return (
+        labels.withColumn("cluster_size", F.count("*").over(w))
+        .select("v", "cluster_id", "cluster_size")
+        .orderBy("v")
+    )
+
+
+def q_contamination(spark, sf):
+    """Benchmark decontamination: the eval set is 5 deterministically
+    sampled corpus docs (min md5-hash of id — same sampling as the IVF
+    centroids), each reduced to a 40-token slice (a leaked benchmark
+    fragment); training docs sharing any exact 13-gram are flagged
+    with hit counts + offending eval ids. Broadcast eval grams, inner
+    join, aggregate — the corpus text itself never shuffles."""
+    from pyrosar_spark.operators.dedup import portable_hash64
+    from pyrosar_spark.operators.textstats import contamination, tokens_ws
+
+    d = _t(spark, sf, "documents")
+    ev = (
+        d.orderBy(
+            portable_hash64(F.col("doc_id").cast("string"), 0, "md5").asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.array_join(F.slice(tokens_ws(F.col("text")), 3, 40), " ").alias("text"),
+        )
+    )
+    return (
+        contamination(d, ev, n=13, hash_mode="md5")
+        .select(
+            "doc_id",
+            "n_hits",
+            F.to_json("eval_ids").alias("eval_ids"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_pack_bins(spark, sf):
     """Sequence packing (training-pipeline op): documents → fixed
     token-budget bins via ONE window cumulative sum per (source,
@@ -1264,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessions": q_stream_sessions,
         "stream_ingest_keys": q_stream_ingest_keys,
         "pack_bins": q_pack_bins,
+        "contamination": q_contamination,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1741,6 +1798,28 @@ def oracle_sql() -> dict[str, str]:
     out.update(_odc_oracle_sqls())
     out.update(_format_oracle_sqls())
     out.update(_stream_oracle_sqls())
+    # connected components over the SAME pair SQL the near-dup oracle
+    # runs: recursive-CTE transitive closure, min reachable id per
+    # vertex — the declarative mirror of the engine's iterative
+    # min-label propagation
+    out["dedup_clusters"] = f"""
+        WITH RECURSIVE nd AS ({out['near_dup_pairs']}),
+        edges AS (
+            SELECT a AS src, b AS dst FROM nd
+            UNION
+            SELECT b, a FROM nd
+        ),
+        reach(v, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst
+        ),
+        roots AS (SELECT v, min(r) AS cluster_id FROM reach GROUP BY v)
+        SELECT v, cluster_id,
+               cast(count(*) OVER (PARTITION BY cluster_id) as bigint)
+               AS cluster_size
+        FROM roots ORDER BY v
+    """
     return out
 
 
@@ -1786,6 +1865,47 @@ def _stream_oracle_sqls() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM g GROUP BY user_id, sid
             ORDER BY user_id, session_start_us
+        """,
+        "contamination": f"""
+            WITH ev0 AS (
+                SELECT doc_id AS eval_id FROM documents
+                ORDER BY {_md5num("cast(doc_id as varchar) || '#0'")}, doc_id
+                LIMIT 5
+            ), evtxt AS (
+                SELECT e.eval_id,
+                       array_to_string(
+                         list_filter(string_split_regex(d.text, '\\s+'),
+                                     x -> x <> '')[3:42], ' ') AS text
+                FROM ev0 e JOIN documents d ON d.doc_id = e.eval_id
+            ), evtok AS (
+                SELECT eval_id, {_TOKS} AS tk FROM evtxt
+            ), evh AS (
+                SELECT DISTINCT eval_id, h FROM (
+                    SELECT eval_id,
+                           unnest([{_md5num("g || '#0'")} FOR g IN
+                             list_distinct(CASE WHEN len(tk) >= 13 THEN
+                               [array_to_string(tk[i:i+12], ' ')
+                                FOR i IN generate_series(1, len(tk)-12)]
+                             ELSE [] END)]) AS h
+                    FROM evtok)
+            ), trtok AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), trh AS (
+                SELECT DISTINCT doc_id, h FROM (
+                    SELECT doc_id,
+                           unnest([{_md5num("g || '#0'")} FOR g IN
+                             list_distinct(CASE WHEN len(tk) >= 13 THEN
+                               [array_to_string(tk[i:i+12], ' ')
+                                FOR i IN generate_series(1, len(tk)-12)]
+                             ELSE [] END)]) AS h
+                    FROM trtok)
+            )
+            SELECT t.doc_id, cast(count(*) as bigint) AS n_hits,
+                   '[' || array_to_string(
+                     list_sort(list_distinct(list(e.eval_id))), ',') || ']'
+                   AS eval_ids
+            FROM trh t JOIN evh e ON t.h = e.h
+            GROUP BY t.doc_id ORDER BY t.doc_id
         """,
         "pack_bins": f"""
             WITH t AS (

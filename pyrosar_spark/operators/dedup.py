@@ -622,3 +622,56 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-duplicate pairs: every document →
+    its cluster root (the minimum id in the component) — the step that
+    turns pairwise dedup output into keep/drop decisions (keep the
+    root, drop the rest).
+
+    Algorithm: iterative min-label propagation (Pregel-lite — the
+    standard shape absent a graph library). Each round is ONE shuffle
+    (edge×label equi-join + min-aggregation); labels converge in
+    O(graph diameter) rounds, and near-dup components are shallow
+    (diameter ≈ 2-3), so 3-4 rounds at any scale. ``localCheckpoint``
+    truncates the growing lineage each round; the driver only reads
+    the per-round convergence COUNT, never the data.
+
+    Returns (v, cluster_id) for every vertex appearing in ``pairs``.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("cluster_id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, edges.dst == labels.v)
+            .select(F.col("src").alias("v"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("v")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="v")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -133,3 +133,52 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
             "fingerprint": fingerprint64(t),
         }
     )
+
+
+def contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "eval_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Benchmark decontamination (training-pipeline op): flag training
+    documents sharing any exact ``n``-token gram with an evaluation
+    set, with the hit count and the offending eval ids.
+
+    Shape for 100 TB: the eval side is tiny (benchmarks are kB-MB) —
+    its distinct gram hashes are BROADCAST; the training side explodes
+    its distinct gram hashes (JVM higher-order shingles — the Arrow
+    kernel in :mod:`dedup` is the swap-in if n-gram volume ever makes
+    this the bottleneck) and inner-joins the broadcast set, so the
+    only wide plan node is a hash aggregation keyed by (doc_id,
+    eval_id). No shuffle of the corpus text itself; non-contaminated
+    documents never survive the join. ``hash_mode='md5'`` is the
+    engine-portable form for SQL oracles.
+    """
+    from pyrosar_spark.operators.dedup import portable_hash64, shingles
+
+    def gram_hashes(text: Column) -> Column:
+        return F.transform(
+            shingles(text, n), lambda g: portable_hash64(g, 0, hash_mode)
+        )
+
+    ev = F.broadcast(
+        eval_docs.select(
+            F.col(eval_id_col).alias("_eid"),
+            F.explode(gram_hashes(F.col(text_col))).alias("_h"),
+        ).distinct()
+    )
+    tr = docs.select(
+        F.col(id_col), F.explode(gram_hashes(F.col(text_col))).alias("_h")
+    ).distinct()
+    return (
+        tr.join(ev, on="_h")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.array_sort(F.collect_set("_eid")).alias("eval_ids"),
+        )
+    )
