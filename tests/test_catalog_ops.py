@@ -111,14 +111,17 @@ def test_stored_catalog_pruning(spark, scenes, tmp_path):
 
 
 def test_insert_merge_sql_shape():
-    """Iceberg MERGE form of insert_scenes (archive.py:563-577): the
-    duplicates MERGE must read the data table before the insert MERGE,
-    the insert MERGE must dedup the staging batch by ingest sequence."""
+    """Iceberg MERGE form of insert_scenes (archive.py:563-577): data
+    MERGE first (round 4 — its guards must see the pre-batch state of
+    both tables), deduping the staging batch by ingest sequence; then
+    the duplicates MERGE routing rank>1 + demoted rank-1 arrivals.
+    Executed row-for-row parity lives in tests/test_merge_exec.py."""
     from pyrosar_spark.sources.catalog import insert_scenes_merge_sql
 
-    dup_sql, ins_sql = insert_scenes_merge_sql()
-    assert "MERGE INTO catalog.sar.duplicates" in dup_sql
-    assert "t.scene <> s.scene" in dup_sql  # exact re-registration no-ops
+    ins_sql, dup_sql = insert_scenes_merge_sql()
     assert "MERGE INTO catalog.sar.scenes" in ins_sql
     assert "row_number() OVER" in ins_sql and "_rk = 1" in ins_sql
     assert "WHEN NOT MATCHED THEN INSERT" in ins_sql
+    assert "MERGE INTO catalog.sar.duplicates" in dup_sql
+    assert "_rk > 1" in dup_sql  # intra-batch later arrivals routed
+    assert "b.doc_id = r.doc_id" in dup_sql  # pre-batch state exemption
