@@ -1797,7 +1797,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_pixel_oracle_sqls())
     out.update(_odc_oracle_sqls())
     out.update(_format_oracle_sqls())
-    out.update(_stream_oracle_sqls())
+    out.update(_stream_and_pipeline_oracle_sqls())
     # connected components over the SAME pair SQL the near-dup oracle
     # runs: recursive-CTE transitive closure, min reachable id per
     # vertex — the declarative mirror of the engine's iterative
@@ -1823,11 +1823,14 @@ def oracle_sql() -> dict[str, str]:
     return out
 
 
-def _stream_oracle_sqls() -> dict[str, str]:
-    """Oracles for the STREAMING queries (round 4). The streaming
-    executions are incremental (file-stream source, stateful agg,
-    AvailableNow drain) but their final complete-mode output is
-    deterministic, so exact batch SQL applies:
+def _stream_and_pipeline_oracle_sqls() -> dict[str, str]:
+    """Oracles for the round-4 queries: the two STREAMING queries plus
+    the training-pipeline extensions (``contamination``,
+    ``pack_bins``; ``dedup_clusters`` composes over the near-dup SQL in
+    ``oracle_sql`` itself). The streaming executions are incremental
+    (file-stream source, stateful agg, AvailableNow drain) but their
+    final complete-mode output is deterministic, so exact batch SQL
+    applies:
 
      - ``stream_sessions``: gap-and-islands sessionization. Spark's
        ``session_window`` merges an event into a session iff it falls

@@ -639,6 +639,10 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     the per-round convergence COUNT, never the data.
 
     Returns (v, cluster_id) for every vertex appearing in ``pairs``.
+    Raises if the graph has not converged within ``max_iter`` rounds
+    (a component with diameter > max_iter): silently returning
+    partially-propagated labels would split one duplicate cluster into
+    several downstream.
     """
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -673,5 +677,8 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iter} rounds — a "
+        f"component has diameter > {max_iter}; raise max_iter"
+    )

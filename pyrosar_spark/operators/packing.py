@@ -67,15 +67,22 @@ def pack_documents(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     cum = F.sum("tokens").over(w)
-    start = (cum - F.col("tokens")).alias("stream_pos")
-    return out.select(
+    staged = out.select(
+        *key_cols, id_col, "shard", "tokens",
+        (cum - F.col("tokens")).alias("stream_pos"),
+    )
+    # `div` = exact 64-bit integer division: floor(double/double) can
+    # misassign a document once stream positions pass ~2^53/budget for
+    # non-power-of-two budgets (round-4 review) — the module targets
+    # 10^12-doc streams where that is reachable
+    return staged.select(
         *key_cols,
         id_col,
         "shard",
         "tokens",
-        F.floor((cum - F.col("tokens")) / budget).cast("long").alias("bin_id"),
-        F.pmod(cum - F.col("tokens"), F.lit(budget).cast("long")).alias("bin_offset"),
-        start,
+        F.expr(f"stream_pos div {int(budget)}").cast("long").alias("bin_id"),
+        F.pmod("stream_pos", F.lit(int(budget)).cast("long")).alias("bin_offset"),
+        "stream_pos",
     )
 
 

@@ -150,13 +150,17 @@ def contamination(
 
     Shape for 100 TB: the eval side is tiny (benchmarks are kB-MB) —
     its distinct gram hashes are BROADCAST; the training side explodes
-    its distinct gram hashes (JVM higher-order shingles — the Arrow
-    kernel in :mod:`dedup` is the swap-in if n-gram volume ever makes
-    this the bottleneck) and inner-joins the broadcast set, so the
-    only wide plan node is a hash aggregation keyed by (doc_id,
-    eval_id). No shuffle of the corpus text itself; non-contaminated
-    documents never survive the join. ``hash_mode='md5'`` is the
-    engine-portable form for SQL oracles.
+    its per-doc-distinct gram hashes (JVM higher-order shingles — the
+    Arrow kernel in :mod:`dedup` is the swap-in if n-gram volume ever
+    makes this the bottleneck) and inner-joins the broadcast set
+    BEFORE any wide operator, so non-contaminated documents never
+    survive the join and the only shuffles in the plan are over the
+    tiny surviving (doc_id, hash, eval_id) rows (a round-4 review
+    caught an earlier corpus-wide pre-join distinct — trillions of
+    rows shuffled at design scale for nothing; ``shingles`` is already
+    distinct within a document, and cross-collision dedup now happens
+    post-join). ``hash_mode='md5'`` is the engine-portable form for
+    SQL oracles.
     """
     from pyrosar_spark.operators.dedup import portable_hash64, shingles
 
@@ -173,9 +177,10 @@ def contamination(
     )
     tr = docs.select(
         F.col(id_col), F.explode(gram_hashes(F.col(text_col))).alias("_h")
-    ).distinct()
+    )
     return (
         tr.join(ev, on="_h")
+        .dropDuplicates([id_col, "_h", "_eid"])
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_hits"),

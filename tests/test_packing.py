@@ -1,7 +1,5 @@
 """Sequence-packing operator (training-pipeline extension, round 4)."""
 
-from pyspark.sql import functions as F
-
 from pyrosar_spark.operators.packing import bin_stats, pack_documents
 
 

@@ -1,7 +1,7 @@
 """Training-pipeline extensions added round 4: benchmark
 decontamination and dedup cluster assignment."""
 
-from pyspark.sql import functions as F
+import pytest
 
 from pyrosar_spark.operators.dedup import dedup_clusters
 from pyrosar_spark.operators.textstats import contamination
@@ -69,3 +69,13 @@ def test_dedup_clusters_converges_and_is_stable(spark):
         for r in dedup_clusters(pairs.repartition(7)).collect()
     }
     assert again == got
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    # a 6-node chain needs ~6 propagation rounds; with max_iter=2 the
+    # operator must raise, not silently return split clusters
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iter=2)
