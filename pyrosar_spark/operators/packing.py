@@ -21,11 +21,15 @@ one, on (key, shard).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from pyrosar_spark.operators.textstats import token_count_ws
+
+logger = logging.getLogger(__name__)
 
 
 def pack_documents(
@@ -34,7 +38,7 @@ def pack_documents(
     token_col: Column | str | None = None,
     id_col: str = "doc_id",
     key_cols: tuple[str, ...] = ("source",),
-    n_shards: int = 1,
+    n_shards: int | None = None,
     hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Assign each document a ``(shard, bin_id, bin_offset)`` under a
@@ -46,8 +50,28 @@ def pack_documents(
     placement cursor. ``hash_mode='md5'`` selects the engine-portable
     shard hash (reproducible in SQL oracles); the default ``xxhash64``
     is the fast JVM-native path.
+
+    ``n_shards=None`` (the default) derives the shard count from
+    ``defaultParallelism`` so the per-key window never concentrates the
+    corpus into a single task; pass ``n_shards=1`` explicitly only when
+    a single globally-ordered stream per key is genuinely required (it
+    is logged as a scale warning).
     """
     from pyrosar_spark.operators.dedup import portable_hash64
+
+    if n_shards is None:
+        n_shards = max(int(df.sparkSession.sparkContext.defaultParallelism), 1)
+        est = _estimated_rows(df)
+        logger.info(
+            "pack_documents: derived n_shards=%d from defaultParallelism%s",
+            n_shards,
+            "" if est is None else f" (~{est // n_shards} rows/shard/key-space)",
+        )
+    elif n_shards == 1:
+        logger.warning(
+            "pack_documents: n_shards=1 serializes each key into ONE task; "
+            "at large scale pass n_shards >= defaultParallelism"
+        )
 
     tokens = (
         token_count_ws(F.col("text"))
@@ -84,6 +108,19 @@ def pack_documents(
         F.pmod("stream_pos", F.lit(int(budget)).cast("long")).alias("bin_offset"),
         "stream_pos",
     )
+
+
+def _estimated_rows(df: DataFrame) -> int | None:
+    """Catalyst row-count estimate for the plan, if statistics exist
+    (file scans always have sizeInBytes; rowCount needs ANALYZE or a
+    recent write) — used only for the sharding log line."""
+    try:
+        cnt = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if cnt.isDefined():
+            return int(cnt.get().toString())
+    except Exception:
+        pass
+    return None
 
 
 def bin_stats(packed: DataFrame, key_cols: tuple[str, ...] = ("source",)) -> DataFrame:

@@ -71,6 +71,28 @@ def test_dedup_clusters_converges_and_is_stable(spark):
     assert again == got
 
 
+def test_dedup_clusters_one_job_per_round(spark):
+    """VERDICT r4 #6: the convergence probe must ride the propagation
+    aggregation, not run as a second join+count job. With AQE off each
+    action is exactly one Spark job, so the job count is deterministic:
+    2 eager checkpoints (edges, labels) + 1 per round + 1 final collect.
+    A star graph converges in 2 rounds -> exactly 5 jobs (the old
+    two-pass probe produced 7)."""
+    pairs = spark.createDataFrame([(1, i) for i in range(2, 7)], "a long, b long")
+    sc = spark.sparkContext
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc_jobcount", "dedup_clusters job audit")
+    try:
+        got = {r["v"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert got == {i: 1 for i in range(1, 7)}
+    jobs = sc.statusTracker().getJobIdsForGroup("cc_jobcount")
+    assert len(jobs) == 5, f"expected 5 jobs (2 ckpt + 2 rounds + collect), got {len(jobs)}"
+
+
 def test_dedup_clusters_raises_on_non_convergence(spark):
     # a 6-node chain needs ~6 propagation rounds; with max_iter=2 the
     # operator must raise, not silently return split clusters
