@@ -500,13 +500,17 @@ def identify_spans(docs: DataFrame) -> DataFrame:
     per-dialect structs coalesce by handler priority (JSON, SAFE,
     DIMAP, TDM, TSX, PSR — a TSX span with a TDM sibling is the TDM
     master, so TDM-before-TSX priority replaces the old anti-join).
-    One row per identifiable document, FIRST recognized dialect wins —
-    the reference's ``identify`` cascade semantics
-    (``drivers.py:118-160``; the previous 6-branch union emitted one
-    row per matching dialect and scanned the input once per branch —
-    6× the I/O at 100 TB). Documents with no recognized metadata span
-    are dropped. The coalesced struct is bound behind a Generate
-    barrier so the whole cascade evaluates once per row."""
+    One row per identifiable document, FIRST recognized dialect wins.
+    The reference's ``identify`` tries each handler until one succeeds
+    (``drivers.py:118-160``) but iterates ``list(set(subclasses))``,
+    whose order is nondeterministic — this engine fixes a DETERMINISTIC
+    priority (a deliberate strengthening, not exact parity; only
+    multi-dialect documents, which the reference resolves arbitrarily,
+    can differ). The previous 6-branch union emitted one row per
+    matching dialect and scanned the input once per branch — 6× the
+    I/O at 100 TB. Documents with no recognized metadata span are
+    dropped. The coalesced struct is bound behind a Generate barrier
+    so the whole cascade evaluates once per row."""
     from pyrosar_spark.operators.dedup import bind
     from pyrosar_spark.operators.xmlmeta import parse_safe_manifest
 
@@ -551,10 +555,15 @@ def identify_spans(docs: DataFrame) -> DataFrame:
             "samples", "lines", "coordinates",
         )},
         # fixed-order known-pol normalization (matches the catalog's
-        # denormalized flag order)
-        "polarizations": F.array_intersect(
-            F.array(*[F.lit(p) for p in ("HH", "VV", "HV", "VH")]),
-            m["polarizations"],
+        # denormalized flag order); a document with NO polarizations
+        # field must yield [] like the union form's flag rebuild, not
+        # the NULL array_intersect propagates (ADVICE r4)
+        "polarizations": F.coalesce(
+            F.array_intersect(
+                F.array(*[F.lit(p) for p in ("HH", "VV", "HV", "VH")]),
+                m["polarizations"],
+            ),
+            F.array().cast("array<string>"),
         ),
         "xmin": F.array_min(lons), "xmax": F.array_max(lons),
         "ymin": F.array_min(lats), "ymax": F.array_max(lats),

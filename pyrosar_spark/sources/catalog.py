@@ -57,6 +57,7 @@ def insert_scenes_merge_sql(
     data_table: str = "catalog.sar.scenes",
     dup_table: str = "catalog.sar.duplicates",
     staging: str = "staged_scenes",
+    batch_id_col: str | None = None,
 ) -> list[str]:
     """The Iceberg transactional form of ``ingest.insert_scenes``
     (duplicate routing, reference ``archive.py:563-577``): two MERGEs
@@ -82,10 +83,17 @@ def insert_scenes_merge_sql(
        same-scene pair arriving in one batch poisoned the data merge's
        own registered-scene guard).
      - The DUPLICATES merge reconstructs the pre-batch data state by
-       exempting rows whose ``doc_id`` is in the staging batch (the
-       stable ingest sequence is unique by contract), then routes
-       rank>1 arrivals plus demoted rank-1 rows (key pre-registered) —
-       previously intra-batch rank>1 arrivals were never routed at all.
+       exempting rows the preceding data merge just inserted, then
+       routes rank>1 arrivals plus demoted rank-1 rows (key
+       pre-registered) — previously intra-batch rank>1 arrivals were
+       never routed at all. Two exemption forms (ADVICE r4): the
+       default matches on ``doc_id`` membership in the staging batch,
+       which is sound only under the contract that the ingest sequence
+       is globally unique and never replayed; pass ``batch_id_col``
+       (a staging column constant per batch and carried into the data
+       table by ``INSERT *``) to exempt by batch identity instead —
+       replay-proof because old data rows can never share the current
+       batch id.
     """
     key = "t.product = s.product AND t.outname_base = s.outname_base"
 
@@ -98,11 +106,19 @@ def insert_scenes_merge_sql(
         )
 
     # duplicates-merge form: data rows inserted by the preceding data
-    # merge (doc_id in this staging batch) do not count as "registered"
-    pre_batch = (
-        f"\n        AND NOT EXISTS (SELECT 1 FROM {staging} b "
-        f"WHERE b.doc_id = r.doc_id)"
-    )
+    # merge do not count as "registered". IS NOT DISTINCT FROM keeps the
+    # batch-id form null-safe (legacy data rows predating the column
+    # must still count as pre-batch registrations).
+    if batch_id_col is not None:
+        pre_batch = (
+            f"\n        AND NOT (r.{batch_id_col} IS NOT DISTINCT "
+            f"FROM s.{batch_id_col})"
+        )
+    else:
+        pre_batch = (
+            f"\n        AND NOT EXISTS (SELECT 1 FROM {staging} b "
+            f"WHERE b.doc_id = r.doc_id)"
+        )
     return [
         # first registration of a key wins; exact re-registrations no-op
         f"""MERGE INTO {data_table} t

@@ -353,3 +353,18 @@ def test_identify_spans_single_pass_matches_union(spark):
     assert len(got_sp) == 1 and got_sp[0]["sensor"] == "S1A"
     assert got_sp[0]["outname_base"] == "S1A__IW___A_20150222T170750"  # JSON won
     assert len(got_un) == 2  # the union's documented double-emit
+
+    # ADVICE r4 regression: a JSON doc MISSING the polarizations field
+    # must yield [] in BOTH forms (array_intersect propagated NULL in
+    # the single-pass form where the union's flag rebuild gave [])
+    nopol = spark.createDataFrame(
+        [("nopol_doc",
+          [("scene_meta",
+            'SC|{"sensor":"S1A","acquisition_mode":"IW","orbit":"A",'
+            '"start":"20200101T000000"}', "", 0)])], schema
+    )
+    sp_row = identify_spans(nopol).collect()
+    un_row = identify_spans_union(nopol).collect()
+    assert len(sp_row) == 1 and len(un_row) == 1
+    assert sp_row[0]["polarizations"] == []
+    assert un_row[0]["polarizations"] == []

@@ -120,3 +120,68 @@ def test_meta_map_custom_fields(spark):
     # without a meta column the unknown kwarg is still dropped (P9)
     plain = ingest.docs_to_scenes(docs)
     assert select(plain, station="MTI_").count() == 1
+
+
+def test_parser_kernels_produce_identical_rows(spark, docs):
+    """ADVICE r4: the json_tuple / get_json_object alternate kernels were
+    only parity-checked in scripts/bench_parse.py (not CI) — a regression
+    in escape handling or a try_cast edge would ship silently. Run
+    docs_to_scenes under all three parser values on the generated corpus
+    PLUS adversarial payloads and assert row-identical output."""
+    from pyrosar_spark.datagen import DOC_SCHEMA
+
+    edge = [
+        # malformed JSON → dropped by every kernel
+        ("e_bad", [("scene_meta", "SC|{broken", "", 0)]),
+        # JSON null sensor → dropped (sensor is the validity sentinel)
+        ("e_null", [("scene_meta", 'SC|{"sensor": null}', "", 0)]),
+        # missing keys → NULL columns
+        ("e_sparse", [("scene_meta", 'SC|{"sensor":"S1A"}', "", 0)]),
+        # non-numeric int field → permissive NULL, row kept
+        ("e_badint", [("scene_meta", 'SC|{"sensor":"S1A","samples":"12x"}', "", 0)]),
+        # escaped quote, escaped backslash and a '|' INSIDE a value (the
+        # span-prefix delimiter must not confuse the payload slice)
+        ("e_esc", [("scene_meta",
+                    'SC|{"sensor":"S1A","orbit":"A\\"B\\\\|C","samples":17}',
+                    "", 0)]),
+        # arrays: polarizations + 3-corner coordinates
+        ("e_arr", [("scene_meta",
+                    'SC|{"sensor":"PSR2","polarizations":["HH","HV"],'
+                    '"coordinates":[[1.0,2.0],[3.0,4.0],[1.5,3.5]],'
+                    '"start":"20200101T000000"}', "", 0)]),
+        # no scene_meta span at all → dropped
+        ("e_nometa", [("text", "filler only", "", 0)]),
+    ]
+    corpus = docs.unionByName(spark.createDataFrame(edge, DOC_SCHEMA))
+    outs = {}
+    for p in ("from_json", "json_tuple", "get_json_object"):
+        outs[p] = sorted(
+            map(tuple, ingest.docs_to_scenes(corpus, with_geometry=False, parser=p).collect())
+        )
+    kept = {r[0] for r in outs["from_json"]}
+    assert "e_sparse" in kept and "e_esc" in kept and "e_arr" in kept
+    assert {"e_bad", "e_null", "e_nometa"}.isdisjoint(kept)
+    assert outs["from_json"] == outs["json_tuple"]
+    assert outs["from_json"] == outs["get_json_object"]
+
+
+def test_parser_kernels_quoted_numeric_boundary(spark):
+    """Pinned KNOWN divergence (found by the CI parity test above): a
+    QUOTED numeric in an int field ('"17"') parses to NULL under
+    from_json (strict JSON typing) but to 17 under the text-extraction
+    kernels — json_tuple/get_json_object strip quotes during extraction,
+    so quoted and unquoted numerics are indistinguishable before the
+    try_cast. The canonical kernel is from_json; this test pins the
+    boundary so a behavior change in either direction is visible."""
+    from pyrosar_spark.datagen import DOC_SCHEMA
+
+    docs = spark.createDataFrame(
+        [("q1", [("scene_meta", 'SC|{"sensor":"S1A","samples":"17"}', "", 0)])],
+        DOC_SCHEMA,
+    )
+    vals = {
+        p: ingest.docs_to_scenes(docs, with_geometry=False, parser=p)
+        .select("samples").first()[0]
+        for p in ("from_json", "json_tuple", "get_json_object")
+    }
+    assert vals == {"from_json": None, "json_tuple": 17, "get_json_object": 17}

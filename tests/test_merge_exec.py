@@ -124,3 +124,58 @@ def test_merge_sql_executes_like_insert_scenes(spark, seed):
         )
         assert sql_data == df_data
         assert sql_dups == df_dups
+
+
+@pytest.mark.parametrize("seed", [7, 8])
+def test_merge_sql_batch_id_form_survives_doc_id_replay(spark, seed):
+    """ADVICE r4: the default duplicates-merge exemption keys on doc_id
+    membership in the staging batch, which mis-exempts old data rows if
+    doc_ids are ever replayed across batches. The batch_id form must
+    stay row-for-row with insert_scenes even when every batch restarts
+    its doc_id sequence at 0."""
+    rng = np.random.default_rng(700 + seed)
+    schema2 = SCHEMA + ", batch_id bigint"
+    cols2 = COLS + ["batch_id"]
+    con = duckdb.connect()
+    con.execute(f"CREATE TABLE data_t ({schema2})")
+    con.execute("CREATE TABLE dup_t (outname_base string, scene string)")
+    stmts = insert_scenes_merge_sql(
+        "data_t", "dup_t", "staging_t", batch_id_col="batch_id"
+    )
+    data_cols = [r[0] for r in con.execute("DESCRIBE data_t").fetchall()]
+    rewritten = [
+        merge_to_insert(stmts[0], data_cols),
+        merge_to_insert(stmts[1], []),
+    ]
+
+    data_df = None
+    dup_df = None
+    for batch_no in range(4):
+        # REPLAYED ids: every batch starts at doc_id 0
+        rows = [r + (batch_no,) for r in _batch(rng, int(rng.integers(6, 14)), 0)]
+        staged = spark.createDataFrame(rows, schema2)
+
+        data_df, dup_df = insert_scenes(staged, data_df, dup_df)
+        data_df = spark.createDataFrame(data_df.collect(), schema2)
+        dup_df = spark.createDataFrame(
+            dup_df.collect(), "outname_base string, scene string"
+        )
+
+        con.execute("CREATE OR REPLACE TABLE staging_t AS SELECT * FROM "
+                    "(VALUES " + ", ".join(
+                        f"({r[0]}, '{r[1]}', '{r[2]}', '{r[3]}', {r[4]})"
+                        for r in rows
+                    ) + ") v(doc_id, product, outname_base, scene, batch_id)")
+        for stmt in rewritten:
+            con.execute(stmt)
+
+        sql_data = sorted(tuple(r) for r in con.execute(
+            f"SELECT {', '.join(cols2)} FROM data_t").fetchall())
+        sql_dups = sorted(tuple(r) for r in con.execute(
+            "SELECT outname_base, scene FROM dup_t").fetchall())
+        df_data = sorted(tuple(r) for r in data_df.select(*cols2).collect())
+        df_dups = sorted(
+            tuple(r) for r in dup_df.select("outname_base", "scene").collect()
+        )
+        assert sql_data == df_data, f"batch {batch_no}"
+        assert sql_dups == df_dups, f"batch {batch_no}"
