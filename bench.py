@@ -65,15 +65,25 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    # telemetry (VERDICT r4 #7): per-rep wall times + the 1-min loadavg
+    # around each rep, so a storm-hit rep is attributable from the
+    # recorded JSON alone (no re-run needed to separate exogenous VM
+    # load from a real regression)
+    rep_times: dict[str, list[float]] = {}
+    rep_load: dict[str, list[float]] = {}
 
     def timed(name: str, fn) -> None:
         ts = []
+        loads = [round(os.getloadavg()[0], 2)]
         for _ in range(reps):
             t0 = time.perf_counter()
             fn()
             ts.append(time.perf_counter() - t0)
+            loads.append(round(os.getloadavg()[0], 2))
         timings[name] = round(min(ts), 3)
         spreads[name] = round(max(ts) - min(ts), 3)
+        rep_times[name] = [round(t, 3) for t in ts]
+        rep_load[name] = loads
 
     # flagship: interleaved docs → scenes → AOI+date select → tile lattice.
     # The documents table is a *stored* table at the target scale (an
@@ -141,6 +151,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "query_spreads": spreads,
+                "query_rep_times": rep_times,
+                "query_rep_loadavg1m": rep_load,
                 "reps": reps,
                 "sf": sf,
                 "n_docs": n_docs,

@@ -646,9 +646,11 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     root, drop the rest).
 
     Algorithm: iterative min-label propagation (Pregel-lite — the
-    standard shape absent a graph library). Each round is ONE shuffle
-    AND ONE job (VERDICT r4 #6): the convergence signal is folded into
-    the propagation aggregation itself — old labels are tagged into the
+    standard shape absent a graph library). Each round is ONE pass over
+    the edge list (an edge×label equi-join + a min-aggregation — three
+    Exchange nodes, pinned in tests/test_plan_properties.py) and ONE
+    job (VERDICT r4 #6): the convergence signal is folded into the
+    propagation aggregation itself — old labels are tagged into the
     union, the min-aggregation emits both the new label and the old one,
     and a single action materializes the round's lazy ``localCheckpoint``
     while summing the per-vertex changed flags. Labels converge in
@@ -677,26 +679,7 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        prop = (
-            edges.join(labels, edges.dst == labels.v)
-            .select(F.col("src").alias("v"), "cluster_id", F.lit(False).alias("_old"))
-        )
-        # every v has exactly one _old=true row (its current label), so
-        # the conditional min recovers it inside the SAME aggregation;
-        # min-labels only decrease, hence changed ⇔ new < old
-        staged = (
-            labels.select("v", "cluster_id", F.lit(True).alias("_old"))
-            .unionByName(prop)
-            .groupBy("v")
-            .agg(
-                F.min("cluster_id").alias("cluster_id"),
-                F.min(F.when(F.col("_old"), F.col("cluster_id"))).alias("_prev"),
-            )
-            .withColumn(
-                "_changed", (F.col("cluster_id") < F.col("_prev")).cast("long")
-            )
-            .localCheckpoint(eager=False)
-        )
+        staged = _cc_round(edges, labels).localCheckpoint(eager=False)
         # the one action of the round: computes the aggregation, saves
         # the checkpoint blocks (lineage truncation), and returns the
         # changed count — no separate probe join/job
@@ -707,4 +690,27 @@ def dedup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     raise RuntimeError(
         f"dedup_clusters did not converge in {max_iter} rounds — a "
         f"component has diameter > {max_iter}; raise max_iter"
+    )
+
+
+def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round: (v, cluster_id, _prev, _changed).
+
+    Every v has exactly one _old=true row (its current label), so the
+    conditional min recovers it inside the SAME aggregation; min-labels
+    only decrease, hence changed ⇔ new < old. Exposed for the
+    plan-property tests (tests/test_plan_properties.py)."""
+    prop = (
+        edges.join(labels, edges.dst == labels.v)
+        .select(F.col("src").alias("v"), "cluster_id", F.lit(False).alias("_old"))
+    )
+    return (
+        labels.select("v", "cluster_id", F.lit(True).alias("_old"))
+        .unionByName(prop)
+        .groupBy("v")
+        .agg(
+            F.min("cluster_id").alias("cluster_id"),
+            F.min(F.when(F.col("_old"), F.col("cluster_id"))).alias("_prev"),
+        )
+        .withColumn("_changed", (F.col("cluster_id") < F.col("_prev")).cast("long"))
     )

@@ -128,6 +128,69 @@ def test_identify_spans_single_scan(spark, tmp_path):
     assert p.count("FileScan") == 1
 
 
+def test_contamination_broadcasts_eval_and_never_shuffles_corpus(spark):
+    """VERDICT r4 #5: the eval side must be a broadcast join build side
+    and the corpus gram stream must reach the join WITHOUT an Exchange.
+    Exactly three hash exchanges are allowed, all off the corpus hot
+    path or post-join: the tiny eval-side distinct (inside the
+    broadcast subtree), the post-join dropDuplicates, and the final
+    per-doc aggregation. The round-4 bug this pins against — a
+    corpus-wide pre-join distinct — adds a fourth."""
+    from pyrosar_spark.operators.textstats import contamination
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l m n o p") for i in range(30)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k l m")], "eval_id long, text string"
+    )
+    p = plan(contamination(docs, ev, n=13))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    n_ex = p.count("Exchange hashpartitioning")
+    assert n_ex == 3, f"expected 3 hash exchanges, got {n_ex}:\n{p}"
+
+
+def test_pack_documents_single_shuffle_on_key_and_shard(spark):
+    """VERDICT r4 #5: packing is ONE shuffle, and its window partitions
+    by (key..., shard) — a window over the key alone serializes each
+    key into one task (the round-4 scale-killer default)."""
+    from pyrosar_spark.operators.packing import pack_documents
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 3}", "a b c") for i in range(100)],
+        "doc_id long, source string, text string",
+    )
+    p = plan(pack_documents(df, budget=5))
+    n_ex = p.count("Exchange hashpartitioning")
+    assert n_ex == 1, f"expected exactly 1 shuffle, got {n_ex}"
+    wspec = next(ln for ln in p.splitlines() if "windowspecdefinition" in ln)
+    assert "source" in wspec and "shard" in wspec, wspec
+
+
+def test_dedup_clusters_round_plan_shape(spark):
+    """VERDICT r4 #5/#6: one propagation round = edge×label equi-join +
+    min-aggregation — exactly three hash exchanges (join's two sides +
+    the groupBy), no cartesian, no extra probe join (the old two-pass
+    convergence check joined new vs old labels AGAIN)."""
+    from pyrosar_spark.operators.dedup import _cc_round
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 2)], "src long, dst long"
+    )
+    labels = edges.selectExpr("src as v", "src as cluster_id").distinct()
+    p = plan(_cc_round(edges, labels.localCheckpoint()))
+    assert "CartesianProduct" not in p
+    n_ex = p.count("Exchange hashpartitioning")
+    assert n_ex == 3, f"expected 3 hash exchanges per round, got {n_ex}:\n{p}"
+    # exactly ONE join in the round (the propagation join; a second one
+    # would be the removed convergence probe sneaking back)
+    n_joins = sum(p.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, f"expected 1 join per round, got {n_joins}"
+
+
 def test_python_stages_are_arrow(spark):
     """Any Python in a hot plan is Arrow-batched (ArrowEvalPython /
     FlatMapGroupsInPandas / MapInPandas) — never row-at-a-time
