@@ -68,6 +68,7 @@ def select(
     polarizations: list[str] | None = None,
     processed_names: DataFrame | None = None,
     return_value=None,
+    aoi_refine: str = "auto",
     **kwargs,
 ) -> DataFrame:
     """Build the reference's conjunctive SELECT as a DataFrame.
@@ -76,6 +77,15 @@ def select(
     in for the reference's ``processdir`` directory listing; rows whose
     ``outname_base`` is contained in any filename are anti-filtered
     (``archive.py:1092-1095``).
+
+    ``aoi_refine`` picks the exact-intersects kernel after the bbox
+    prefilter: ``'auto'`` (default) evaluates CONVEX AOIs with pure JVM
+    column expressions over the raw corner points — no hull UDF, no
+    Python workers (an ArrowEvalPython stage demands ~2× the
+    parallelism level in cores, the worst in-box scaling term measured:
+    BENCH/BASELINE.md round 5) — and falls back to the Arrow kernel for
+    concave/degenerate AOIs; ``'arrow'`` forces the Arrow kernel
+    (A/B + fallback-parity testing).
     """
     valid_cols = set(scenes.columns)
     df = scenes
@@ -211,7 +221,24 @@ def select(
             & (F.col("ymin") <= float(aymax))
             & (F.col("ymax") >= float(aymin))
         )
-        df = df.where(_aoi_intersects_udf(ring)(ring_col()))
+        from pyrosar_spark.operators.spatial import (
+            aoi_ring_is_convex,
+            corners_intersect_aoi,
+            flat_ring_intersects_aoi,
+        )
+
+        if aoi_refine not in ("auto", "arrow"):
+            raise ValueError(f"unknown aoi_refine: {aoi_refine!r}")
+        if aoi_refine == "auto" and aoi_ring_is_convex(ring):
+            # JVM SAT path over the RAW geometry column — corners when
+            # available (skips the hull entirely), else the ring
+            # vertices (hull points; same hull, same answer)
+            if "corners" in df.columns:
+                df = df.where(corners_intersect_aoi(F.col("corners"), ring))
+            else:
+                df = df.where(flat_ring_intersects_aoi(F.col("ring"), ring))
+        else:
+            df = df.where(_aoi_intersects_udf(ring)(ring_col()))
 
     # P11 processdir anti-filter (``archive.py:1092-1095``): the
     # reference tests ``outname_base in filename`` per file. A contains

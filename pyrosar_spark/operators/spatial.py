@@ -99,16 +99,26 @@ def spatial_join(
     broadcast_aoi: bool = True,
     scene_keys: list[str] | None = None,
     aoi_keys: list[str] | None = None,
+    refine: str = "jvm",
 ) -> DataFrame:
     """Scene × AOI polygon-intersect join (J1 at many-AOI scale).
 
     ``scenes`` needs bbox cols + the flat ``ring`` column; ``aois`` needs
     ``aoi_id``, bbox cols (``a_xmin``...) and ``a_ring``.
     Returns scene keys × ``aoi_id`` candidate-refined pairs.
+
+    ``refine='jvm'`` (default, round 5) evaluates the exact intersect as
+    whole-stage-codegen column expressions (:func:`rings_intersect_jvm`
+    — arbitrary simple polygons, touch-inclusive); ``'arrow'`` keeps the
+    numpy batch kernel (A/B + differential testing). The JVM path frees
+    the per-task Python workers whose ~2×-level core demand was the
+    worst in-box scaling term measured (BENCH/BASELINE.md round 5).
     """
     scene_keys = scene_keys or ["doc_id"]
     if "a_ring" not in aois.columns:
         raise ValueError("aois must carry a_ring + a_xmin/a_xmax/a_ymin/a_ymax")
+    if refine not in ("jvm", "arrow"):
+        raise ValueError(f"unknown refine: {refine!r}")
     a = cover_cells(aois, "a_xmin", "a_xmax", "a_ymin", "a_ymax", cell_deg, out="cell")
     s = cover_cells(scenes, cell_deg=cell_deg, out="cell")
     if broadcast_aoi:
@@ -117,7 +127,13 @@ def spatial_join(
     # a bbox pair may share several cells → dedup before the exact test
     keep = scene_keys + ["ring"] + (aoi_keys or ["aoi_id"]) + ["a_ring"]
     cand = cand.select(*keep).dropDuplicates(scene_keys + (aoi_keys or ["aoi_id"]))
-    refined = cand.where(_pairs_intersect(F.col("ring"), F.col("a_ring")))
+    if refine == "jvm":
+        refined = cand.where(
+            F.col("ring").isNotNull()
+            & rings_intersect_jvm(F.col("ring"), F.col("a_ring"))
+        )
+    else:
+        refined = cand.where(_pairs_intersect(F.col("ring"), F.col("a_ring")))
     return refined.drop("ring", "a_ring")
 
 
@@ -140,6 +156,263 @@ def aoi_frame(spark, aoi_wkts: list[tuple[str, str]]) -> DataFrame:
         rows,
         "aoi_id string, a_xmin double, a_xmax double, a_ymin double, a_ymax double, a_ring array<double>",
     )
+
+
+# -- JVM convex-AOI refine ---------------------------------------------------
+#
+# Round-5 scaling finding (BENCH/BASELINE.md, scripts/cpu_capacity_probe.py):
+# an ArrowEvalPython stage runs a Python worker NEXT TO each JVM task
+# thread, so its core demand is ~2x the parallelism level — the flagship's
+# Python refine measured 0.40 in-box 4->16 efficiency on a host that
+# delivers ~17 cores, vs ~0.87 for pure-JVM stages. For a CONVEX AOI the
+# exact footprint-intersects test needs no hull and no Python: the scene
+# footprint is the convex hull of its corner points, and hull-vs-convex
+# intersection decomposes into three pure-arithmetic cases over the raw
+# corners (whole-stage-codegen'd, evaluated only on bbox survivors):
+#   1. some corner strictly/boundary inside the AOI (per-edge sign tests;
+#      valid because the AOI is convex and non-degenerate),
+#   2. some AOI vertex inside the hull = inside SOME triangle of corner
+#      triples (orientation-free sign test; a scene-bbox guard closes the
+#      collinear-triangle-line false positive),
+#   3. some corner-pair segment crosses some AOI edge (hull edges are a
+#      subset of corner-pair segments; a chord crossing still implies
+#      intersection since chords lie inside the hull).
+# Touch counts as intersecting in every case, matching the Arrow kernel.
+
+
+def _orient_col(ax, ay, bx, by, cx, cy):
+    return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+def aoi_ring_is_convex(ring: np.ndarray) -> bool:
+    """Driver-side: is the (closed) AOI ring convex with nonzero area?
+    (Degenerate line/point rings return False — the JVM path then skips
+    its case-1 containment test, which needs a real interior.)"""
+    r = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if len(r) < 4:  # point / segment rings
+        return False
+    v = r[:-1]
+    nxt = np.roll(v, -1, axis=0)
+    nxt2 = np.roll(v, -2, axis=0)
+    cross = (nxt[:, 0] - v[:, 0]) * (nxt2[:, 1] - v[:, 1]) - (
+        (nxt[:, 1] - v[:, 1]) * (nxt2[:, 0] - v[:, 0])
+    )
+    if abs(geom.ring_area(r)) == 0.0:
+        return False
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def _sat_convex_intersects(
+    pt_cols: list[tuple[Column, Column]], aoi_ring: np.ndarray
+) -> Column:
+    """Separating-axis intersects of the convex hull of the given point
+    COLUMNS vs a constant convex AOI — fully UNROLLED flat arithmetic
+    (no higher-order functions: Spark HOF lambdas evaluate interpreted
+    per element, which measured as slow as the Python kernel they were
+    meant to replace; flat comparisons stay inside whole-stage codegen).
+
+    Two convex sets are disjoint iff a STRICT separating line exists
+    through an edge of one of them. Candidate axes:
+     - each AOI edge (constants; CCW ⇒ interior left): separated iff
+       every scene point is STRICTLY right (orient < 0);
+     - each scene point-pair line (hull edges are a subset of pairs):
+       separated iff the remaining scene points are all on one closed
+       side while every AOI vertex is STRICTLY on the other. Degenerate
+       pairs (p == q) orient to 0 for every z, so the strict AOI side
+       can never hold — no false separation.
+    Touching yields no strict separation ⇒ touch counts as intersect,
+    matching the Arrow kernel.
+    """
+    ring = np.asarray(aoi_ring, dtype=np.float64).reshape(-1, 2)
+    if geom.ring_area(ring) < 0:  # normalize to CCW so interior is left
+        ring = ring[::-1]
+    edges = [
+        (float(ring[i][0]), float(ring[i][1]),
+         float(ring[i + 1][0]), float(ring[i + 1][1]))
+        for i in range(len(ring) - 1)
+        if not (ring[i][0] == ring[i + 1][0] and ring[i][1] == ring[i + 1][1])
+    ]
+    verts = sorted({(float(x), float(y)) for x, y in ring[:-1]})
+
+    def all_of(conds):
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    def any_of(conds):
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+
+    # axis family 1: AOI edges — all scene points strictly outside
+    sep_aoi = any_of([
+        all_of([
+            _orient_col(F.lit(ax), F.lit(ay), F.lit(bx), F.lit(by), px, py) < 0
+            for (px, py) in pt_cols
+        ])
+        for (ax, ay, bx, by) in edges
+    ])
+
+    # axis family 2: scene point-pair lines
+    pair_seps = []
+    n = len(pt_cols)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (px, py), (qx, qy) = pt_cols[i], pt_cols[j]
+            others = [pt_cols[k] for k in range(n) if k != i and k != j]
+            o_sides = [_orient_col(px, py, qx, qy, zx, zy) for (zx, zy) in others]
+            a_sides = [
+                _orient_col(px, py, qx, qy, F.lit(vx), F.lit(vy))
+                for (vx, vy) in verts
+            ]
+            scene_pos = all_of([s >= 0 for s in o_sides]) if o_sides else F.lit(True)
+            scene_neg = all_of([s <= 0 for s in o_sides]) if o_sides else F.lit(True)
+            aoi_neg = all_of([s < 0 for s in a_sides])
+            aoi_pos = all_of([s > 0 for s in a_sides])
+            pair_seps.append((scene_pos & aoi_neg) | (scene_neg & aoi_pos))
+    sep_pairs = any_of(pair_seps) if pair_seps else F.lit(False)
+
+    return ~(sep_aoi | sep_pairs)
+
+
+def _sat_size_branches(
+    n_col: Column,
+    point_at,
+    aoi_ring: np.ndarray,
+    max_pts: int,
+) -> Column:
+    """Size-guarded CASE WHEN over unrolled SAT variants (k = 1..max).
+
+    ``point_at(i)`` must return SMALL accessor expressions over the raw
+    underlying column (``corners[i].lon`` / ``element_at(ring, 2i-1)``):
+    every orient test embeds copies of these subtrees, so a large
+    accessor (e.g. a ``transform(...)`` normalization) multiplies the
+    expression tree combinatorially and stalls Catalyst ANALYSIS — the
+    first cut of this function did exactly that and planned for minutes.
+    Only the matching branch evaluates per row; NULL / oversized arrays
+    yield NULL (callers' ``where`` drops them, matching the Arrow
+    kernel's False)."""
+    expr = F.lit(None).cast("boolean")
+    for k in range(1, max_pts + 1):
+        expr = F.when(
+            n_col == k,
+            _sat_convex_intersects([point_at(i) for i in range(k)], aoi_ring),
+        ).otherwise(expr)
+    return expr
+
+
+def corners_intersect_aoi(corners: Column, aoi_ring: np.ndarray) -> Column:
+    """SAT intersects for the catalog ``corners`` column
+    (array<struct<lon,lat>>, universally 4 entries) vs a constant
+    convex AOI — unrolled flat codegen arithmetic."""
+    def at(i: int):
+        p = F.element_at(corners, i + 1)
+        return (p["lon"], p["lat"])
+
+    # canonical catalog corners are EXACTLY 4 points; lower counts kept
+    # for robustness, higher ones routed to NULL (dropped) — branch
+    # count is also Catalyst ANALYSIS cost, so no speculative headroom
+    return _sat_size_branches(F.size(corners), at, aoi_ring, max_pts=4)
+
+
+def flat_ring_intersects_aoi(ring_col: Column, aoi_ring: np.ndarray) -> Column:
+    """SAT intersects for a closed flat-ring column (canonical 3-5
+    points + closure) vs a constant convex AOI — unrolled flat codegen
+    arithmetic over tiny element_at accessors."""
+    def at(i: int):
+        return (
+            F.element_at(ring_col, i * 2 + 1),
+            F.element_at(ring_col, i * 2 + 2),
+        )
+
+    # canonical closed rings: 2-5 points (degenerate point/segment up
+    # to quad hull + closure)
+    return _sat_size_branches(
+        (F.size(ring_col) / 2).cast("int"), at, aoi_ring, max_pts=5
+    )
+
+
+def flat_ring_points(flat: Column) -> Column:
+    """array<double> flat ring → array<array<double>> points (incl. the
+    closing duplicate — harmless for the hull tests)."""
+    return F.transform(
+        F.sequence(F.lit(1), (F.size(flat) / 2).cast("int")),
+        lambda i: F.array(F.element_at(flat, i * 2 - 1), F.element_at(flat, i * 2)),
+    )
+
+
+def _point_in_flat_ring(px: Column, py: Column, flat: Column) -> Column:
+    """Crossing-number containment of one (column) point vs a closed
+    flat ring column — arbitrary simple polygons, pure JVM. Mirrors
+    ``geom.points_in_ring`` (boundary may report either side; callers
+    pair this with the edge test, like the Arrow kernel does). The
+    guarded division is IEEE-safe: when the first conjunct is false the
+    edge never counts, and double/0 yields ±Inf/NaN, never an error."""
+    n_edges = (F.size(flat) / 2).cast("int") - 1
+    ex = lambda i: F.element_at(flat, i * 2 - 1)  # noqa: E731
+    ey = lambda i: F.element_at(flat, i * 2)  # noqa: E731
+
+    def crossing(i):
+        vx, vy, wx, wy = ex(i), ey(i), ex(i + 1), ey(i + 1)
+        xint = vx + (py - vy) / (wy - vy) * (wx - vx)
+        return ((vy > py) != (wy > py)) & (px < xint)
+
+    return F.size(F.filter(F.sequence(F.lit(1), n_edges), crossing)) % 2 == 1
+
+
+def rings_intersect_jvm(ring_a: Column, ring_b: Column) -> Column:
+    """Exact st_intersects of two closed flat-ring columns as pure JVM
+    column expressions (round 5): edge-pair intersection (proper +
+    touching/collinear) OR either polygon's first vertex inside the
+    other. Same decomposition as ``geom.FlatRings.intersects`` — valid
+    for arbitrary simple polygons, touch counts as intersecting.
+
+    Replaces the ArrowEvalPython refine in :func:`spatial_join`: a
+    Python stage runs a worker process per task thread (~2× the level
+    in core demand — the worst in-box scaling term, BENCH/BASELINE.md),
+    while this path stays inside whole-stage codegen and evaluates only
+    on cell-join candidates."""
+    ax = lambda i: F.element_at(ring_a, i * 2 - 1)  # noqa: E731
+    ay = lambda i: F.element_at(ring_a, i * 2)  # noqa: E731
+    bx = lambda j: F.element_at(ring_b, j * 2 - 1)  # noqa: E731
+    by = lambda j: F.element_at(ring_b, j * 2)  # noqa: E731
+    na = (F.size(ring_a) / 2).cast("int") - 1
+    nb = (F.size(ring_b) / 2).cast("int") - 1
+
+    def seg_pair(i, j):
+        p1x, p1y, p2x, p2y = ax(i), ay(i), ax(i + 1), ay(i + 1)
+        q1x, q1y, q2x, q2y = bx(j), by(j), bx(j + 1), by(j + 1)
+        d1 = _orient_col(q1x, q1y, q2x, q2y, p1x, p1y)
+        d2 = _orient_col(q1x, q1y, q2x, q2y, p2x, p2y)
+        d3 = _orient_col(p1x, p1y, p2x, p2y, q1x, q1y)
+        d4 = _orient_col(p1x, p1y, p2x, p2y, q2x, q2y)
+        proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
+            ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
+        )
+
+        def on_seg(sx1, sy1, sx2, sy2, px, py):
+            return (
+                (F.least(sx1, sx2) <= px) & (px <= F.greatest(sx1, sx2))
+                & (F.least(sy1, sy2) <= py) & (py <= F.greatest(sy1, sy2))
+            )
+
+        touch = (
+            ((d1 == 0) & on_seg(q1x, q1y, q2x, q2y, p1x, p1y))
+            | ((d2 == 0) & on_seg(q1x, q1y, q2x, q2y, p2x, p2y))
+            | ((d3 == 0) & on_seg(p1x, p1y, p2x, p2y, q1x, q1y))
+            | ((d4 == 0) & on_seg(p1x, p1y, p2x, p2y, q2x, q2y))
+        )
+        return proper | touch
+
+    edges_cross = F.exists(
+        F.sequence(F.lit(1), na),
+        lambda i: F.exists(F.sequence(F.lit(1), nb), lambda j: seg_pair(i, j)),
+    )
+    a_in_b = _point_in_flat_ring(ax(F.lit(1)), ay(F.lit(1)), ring_b)
+    b_in_a = _point_in_flat_ring(bx(F.lit(1)), by(F.lit(1)), ring_a)
+    return edges_cross | a_in_b | b_in_a
 
 
 # -- kNN scene matching (J10) ------------------------------------------------

@@ -194,7 +194,10 @@ def test_dedup_clusters_round_plan_shape(spark):
 def test_python_stages_are_arrow(spark):
     """Any Python in a hot plan is Arrow-batched (ArrowEvalPython /
     FlatMapGroupsInPandas / MapInPandas) — never row-at-a-time
-    BatchEvalPython."""
+    BatchEvalPython. Round 5: a CONVEX AOI select is now Python-FREE
+    (JVM sign/segment refine — a Python stage demands ~2× the level in
+    cores, the worst in-box scaling term); the Arrow kernel remains the
+    concave-AOI fallback and must still be Arrow, not BatchEval."""
     from pyrosar_spark.datagen import generate_documents
     from pyrosar_spark.operators.ingest import docs_to_scenes
     from pyrosar_spark.operators.select import select
@@ -203,4 +206,10 @@ def test_python_stages_are_arrow(spark):
     sel = select(scenes, aoi_wkt="POLYGON((0 0, 20 0, 20 20, 0 20, 0 0))")
     p = plan(sel)
     assert "BatchEvalPython" not in p
-    assert "ArrowEvalPython" in p  # the exact-polygon refine
+    assert "ArrowEvalPython" not in p  # convex AOI: pure JVM refine
+    concave = select(
+        scenes, aoi_wkt="POLYGON((0 0, 20 0, 20 20, 10 4, 0 20, 0 0))"
+    )
+    p2 = plan(concave)
+    assert "BatchEvalPython" not in p2
+    assert "ArrowEvalPython" in p2  # the Arrow fallback refine

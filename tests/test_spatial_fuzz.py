@@ -101,6 +101,17 @@ def _convex_ring(rng, cx, cy, rmax):
     return np.vstack([pts, pts[:1]])
 
 
+def _concave_ring(rng, cx, cy, rmax):
+    """Star-shaped (hence simple) but CONCAVE: alternating radii."""
+    n = 2 * int(rng.integers(3, 6))
+    angles = np.sort(rng.uniform(0, 2 * np.pi, n))
+    radii = np.where(np.arange(n) % 2 == 0, rmax, rmax * 0.35)
+    pts = np.stack(
+        [cx + radii * np.cos(angles), cy + radii * np.sin(angles)], axis=1
+    )
+    return np.vstack([pts, pts[:1]])
+
+
 def _scene_rows(rng, n):
     rows = []
     for i in range(n):
@@ -128,6 +139,11 @@ def _aoi_cases(rng, scenes):
         ring = _convex_ring(rng, rng.uniform(-172, 172), rng.uniform(-80, 80),
                             rmax=6.0)
         cases.append((f"rand{i:02d}", geom.ring_to_wkt(ring)))
+    for i in range(8):  # concave star AOIs (spatial_join's JVM refine
+        # must handle arbitrary simple polygons, not just convex)
+        ring = _concave_ring(rng, rng.uniform(-170, 170), rng.uniform(-78, 78),
+                             rmax=rng.uniform(2.0, 7.0))
+        cases.append((f"conc{i:02d}", geom.ring_to_wkt(ring)))
     # antimeridian-adjacent (does NOT cross; engine is planar)
     cases.append(("anti_e", geom.ring_to_wkt(_convex_ring(rng, 179.0, 10.0, 0.9))))
     cases.append(("anti_w", geom.ring_to_wkt(_convex_ring(rng, -179.0, -10.0, 0.9))))
@@ -173,33 +189,75 @@ def fuzz_world(spark):
     return scenes, cases, sdf, expected
 
 
-def test_spatial_join_fuzz_vs_scalar_oracle(spark, fuzz_world):
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("refine", ["jvm", "arrow"])
+def test_spatial_join_fuzz_vs_scalar_oracle(spark, fuzz_world, refine):
+    """Both refine kernels (the round-5 JVM codegen path and the Arrow
+    numpy kernel) against the oracle on identical cases, incl. the
+    concave star AOIs — so this doubles as a JVM-vs-Arrow differential."""
     scenes, cases, sdf, expected = fuzz_world
     adf = aoi_frame(spark, cases)
     got = {
         (r["doc_id"], r["aoi_id"])
-        for r in spatial_join(sdf, adf).select("doc_id", "aoi_id").collect()
+        for r in spatial_join(sdf, adf, refine=refine)
+        .select("doc_id", "aoi_id").collect()
     }
     missing = expected - got
     extra = got - expected
     assert not missing and not extra, (
-        f"spatial_join disagrees with oracle: missing={sorted(missing)[:10]} "
-        f"extra={sorted(extra)[:10]}"
+        f"spatial_join[{refine}] disagrees with oracle: "
+        f"missing={sorted(missing)[:10]} extra={sorted(extra)[:10]}"
     )
     # sanity: the adversarial cases produce hits (the fuzz isn't vacuous)
     hit_aois = {a for _, a in got}
     assert {"tiny_inside", "huge_around", "shared_edge"} <= hit_aois
+    assert any(a.startswith("conc") for a in hit_aois), "no concave AOI hits"
 
 
 def test_select_aoi_fuzz_vs_scalar_oracle(spark, fuzz_world):
+    """Both refine kernels against the oracle on identical cases: the
+    round-5 JVM convex-AOI path (aoi_refine='auto' — sign/segment tests
+    over raw points, no Python workers) AND the Arrow kernel it
+    replaced — so this doubles as a JVM-vs-Arrow differential."""
     scenes, cases, sdf, expected = fuzz_world
     # P8 path: one select() per AOI — run the targeted cases + a sample
     # of the random ones (each select is a separate Spark action)
     chosen = [c for c in cases if not c[0].startswith("rand")] + cases[:8]
-    for aid, wkt in chosen:
-        got = {
-            r["doc_id"]
-            for r in select(sdf, aoi_wkt=wkt, return_value=["doc_id"]).collect()
-        }
-        want = {s for (s, a) in expected if a == aid}
-        assert got == want, f"select(aoi={aid}): got^want={got ^ want}"
+    for i, (aid, wkt) in enumerate(chosen):
+        # every case through the default (JVM-for-convex) path; every
+        # third ALSO through the forced-Arrow kernel (full Arrow
+        # coverage already exists in the spatial_join[arrow] fuzz — a
+        # per-case double select here only buys planning time)
+        modes = ("auto", "arrow") if i % 3 == 0 else ("auto",)
+        for mode in modes:
+            got = {
+                r["doc_id"]
+                for r in select(
+                    sdf, aoi_wkt=wkt, return_value=["doc_id"], aoi_refine=mode
+                ).collect()
+            }
+            want = {s for (s, a) in expected if a == aid}
+            assert got == want, f"select(aoi={aid}, {mode}): got^want={got ^ want}"
+
+
+def test_jvm_convex_refine_is_python_free(spark, fuzz_world):
+    """The plan property the round-5 scaling work depends on: a convex
+    AOI select contains NO Python stage at all (no ArrowEvalPython /
+    BatchEvalPython), and the corners-based flagship shape skips the
+    hull UDF too."""
+    scenes, cases, sdf, expected = fuzz_world
+    wkt = geom.ring_to_wkt(geom.bbox_ring(-20.0, -20.0, 20.0, 20.0))
+    p = (
+        select(sdf, aoi_wkt=wkt, return_value=["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # concave AOI falls back to the Arrow kernel
+    concave = "POLYGON((0 0, 10 0, 10 10, 5 2, 0 10, 0 0))"
+    p2 = (
+        select(sdf, aoi_wkt=concave, return_value=["doc_id"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in p2
