@@ -125,13 +125,18 @@ def main() -> None:
                          ">= 0.9 are both captured (min 4 cycles)")
     args = ap.parse_args()
 
+    # 90 s between levels: the 1-min loadavg needs ~1.5 decay constants
+    # to fall from our own previous level's ~4-6 to under the baseline
+    # threshold — a 10 s gap made the harness flag its own tail as a
+    # "storm" (first run, cycle 0: l16 baseline 3.25 was pure decay)
+    settle = int(os.environ.get("QUIET_SETTLE_SEC", "90"))
     best_pair = None
     proxy_vals = []
     with open(args.log, "a") as log:
         for cycle in range(args.pairs):
-            time.sleep(10)  # let loadavg decay toward the true idle baseline
+            time.sleep(settle)
             l4 = run_level(4, args.reps)
-            time.sleep(10)
+            time.sleep(settle)
             l16 = run_level(16, args.reps)
             rec = {
                 "cycle": cycle,
@@ -142,9 +147,9 @@ def main() -> None:
                 "pair_quiet": l4["quiet"] and l16["quiet"],
             }
             if args.proxy_every and cycle % args.proxy_every == args.proxy_every - 1:
-                time.sleep(10)
+                time.sleep(settle)
                 l2 = run_level(2, args.reps)
-                time.sleep(10)
+                time.sleep(settle)
                 l8 = run_level(8, args.reps)
                 rec["l2"], rec["l8"] = l2, l8
                 rec["eff_2_8"] = eff(l2, l8)
