@@ -1310,6 +1310,64 @@ def q_stream_ingest_keys(spark, sf):
     return spark.table(name).orderBy("product", "outname_base")
 
 
+def q_span_roundtrip(spark, sf):
+    """The BASELINE input-contract invariant, executed adversarially:
+    every document's span sequence (kind, text, media_ref, offset — in
+    order) must survive the pipeline byte-identically. Spans are
+    exploded, scattered across partitions by a content hash that
+    ignores doc_id (the redistribution a by-kind processing stage
+    performs), then reassembled and digested; the oracle digests the
+    STORED arrays directly in DuckDB. Per-doc digest equality ==
+    byte-identity of membership AND order."""
+    from pyrosar_spark.datagen import docs_from_corpus
+    from pyrosar_spark.operators.spans import roundtrip_digest
+
+    docs = _handoff(docs_from_corpus(spark, sf), "docs", sf)
+    return (
+        roundtrip_digest(docs)
+        .select(
+            "doc_id", F.col("n_spans").cast("long").alias("n_spans"), "digest"
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_repetition_stats(spark, sf):
+    """Gopher-style repetition quality signals, zero-shuffle columnar
+    (run-length scan over sorted in-row gram arrays); the oracle is an
+    independent O(g²) count-per-distinct-gram formulation."""
+    from pyrosar_spark.operators.textstats import repetition_stats
+
+    d = _t(spark, sf, "documents")
+    return (
+        repetition_stats(d)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "dup_2gram_frac",
+            F.col("top_2gram_count").cast("long").alias("top_2gram_count"),
+            "top_2gram_frac",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_tfidf_top_terms(spark, sf):
+    """Top-3 TF-IDF terms per document (smooth idf, term tie-break):
+    token-level shuffle for tf, pair-level re-aggregation for df,
+    broadcast join back, windowed top-k."""
+    from pyrosar_spark.operators.textstats import tfidf_top_terms
+
+    d = _t(spark, sf, "documents")
+    return (
+        tfidf_top_terms(d, k=3)
+        .select(
+            "doc_id", F.col("rank").cast("long").alias("rank"), "term", "tfidf"
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1362,6 +1420,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins": q_pack_bins,
         "contamination": q_contamination,
         "dedup_clusters": q_dedup_clusters,
+        "span_roundtrip": q_span_roundtrip,
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1386,7 +1447,7 @@ def _ensure_handoffs(sf_dir: str = "/root/testdata/sf0.01") -> None:
     (over)written them and this is a no-op."""
     import os
 
-    needed = ["scenes", "osv", "chips_bn", "chips_tiles", "geo_ads"]
+    needed = ["scenes", "osv", "chips_bn", "chips_tiles", "geo_ads", "docs"]
     if all(
         os.path.exists(f"{_oracle_dir(sf_dir)}/{n}.parquet/_SUCCESS")
         for n in needed
@@ -1413,6 +1474,7 @@ def _ensure_handoffs(sf_dir: str = "/root/testdata/sf0.01") -> None:
     from pyrosar_spark.datagen import generate_geo_ads
 
     _handoff(generate_geo_ads(spark, sf_dir), "geo_ads", sf_dir)
+    _handoff(docs_from_corpus(spark, sf_dir), "docs", sf_dir)
 
 
 def _mask_sql_list(n_hashes: int) -> str:
@@ -1839,6 +1901,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_odc_oracle_sqls())
     out.update(_format_oracle_sqls())
     out.update(_stream_and_pipeline_oracle_sqls())
+    out.update(_text_r5_oracle_sqls())
     # connected components over the SAME pair SQL the near-dup oracle
     # runs: recursive-CTE transitive closure, min reachable id per
     # vertex — the declarative mirror of the engine's iterative
@@ -1998,6 +2061,84 @@ def _stream_and_pipeline_oracle_sqls() -> dict[str, str]:
             FROM f WHERE sensor IS NOT NULL
             GROUP BY product, outname_base
             ORDER BY product, outname_base
+        """,
+    }
+
+
+def _text_r5_oracle_sqls() -> dict[str, str]:
+    """Round-5 text-pipeline oracles: span byte-identity, Gopher
+    repetition, tf-idf. Each re-derives the answer from first
+    principles in DuckDB (direct list render of the stored spans; an
+    O(g²) distinct-gram count instead of the engine's run-length scan;
+    the same smooth-idf formula in identical IEEE op order)."""
+    span_render = (
+        "s['kind'] || chr(1) || s['text'] || chr(1) || s['media_ref']"
+        " || chr(1) || s['offset']::VARCHAR"
+    )
+    return {
+        "span_roundtrip": f"""
+            SELECT doc_id,
+                   cast(len(spans) as bigint) AS n_spans,
+                   md5(array_to_string(
+                     list_transform(spans, s -> {span_render}), chr(2)))
+                   AS digest
+            FROM {_oracle_scan('docs')}
+            ORDER BY doc_id
+        """,
+        "repetition_stats": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), g AS (
+                SELECT doc_id, tk,
+                       CASE WHEN len(tk) >= 2 THEN
+                         [tk[i] || ' ' || tk[i+1]
+                          FOR i IN generate_series(1, len(tk)-1)]
+                       ELSE [] END AS gr
+                FROM t
+            ), m AS (
+                SELECT doc_id, tk, gr,
+                       CASE WHEN len(gr) > 0 THEN
+                         list_max(list_transform(list_distinct(gr),
+                           d -> len(list_filter(gr, x -> x = d))))
+                       ELSE 0 END AS topc
+                FROM g
+            )
+            SELECT doc_id,
+                   cast(len(tk) as bigint) AS n_tokens,
+                   round(CASE WHEN len(gr) > 0 THEN
+                           1.0 - len(list_distinct(gr))::DOUBLE / len(gr)
+                         ELSE 0.0 END, 6) AS dup_2gram_frac,
+                   cast(topc as bigint) AS top_2gram_count,
+                   round(CASE WHEN len(tk) > 0 THEN
+                           least(topc * 2.0 / len(tk), 1.0)
+                         ELSE 0.0 END, 6) AS top_2gram_frac
+            FROM m ORDER BY doc_id
+        """,
+        "tfidf_top_terms": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), tok AS (
+                SELECT doc_id, len(tk) AS n, unnest(tk) AS term FROM t
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS c, any_value(n) AS n
+                FROM tok GROUP BY doc_id, term
+            ), dfq AS (
+                SELECT term, count(*) AS dfc FROM tf GROUP BY term
+            ), nd AS (
+                SELECT count(*) AS ndocs FROM t
+            ), s AS (
+                SELECT tf.doc_id, tf.term,
+                       round((c::DOUBLE / n)
+                             * (ln((ndocs + 1.0) / (dfc + 1.0)) + 1.0), 6)
+                       AS tfidf
+                FROM tf JOIN dfq USING (term) CROSS JOIN nd
+            ), r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+                FROM s
+            )
+            SELECT doc_id, cast(rank as bigint) AS rank, term, tfidf
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
         """,
     }
 

@@ -71,19 +71,38 @@ def main() -> None:
     # load from a real regression)
     rep_times: dict[str, list[float]] = {}
     rep_load: dict[str, list[float]] = {}
+    rep_steal: dict[str, list[float]] = {}
+
+    def _steal_s() -> float:
+        """Cumulative host-steal seconds from /proc/stat (field 8).
+        The round-5 harness finding: guest loadavg only counts
+        guest-runnable threads — host-side contention is invisible to
+        it but shows directly as steal, so per-rep steal-cps is the
+        one signal that separates a storm-hit rep from a regression."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            return int(parts[8]) / os.sysconf("SC_CLK_TCK")
+        except Exception:
+            return 0.0
 
     def timed(name: str, fn) -> None:
         ts = []
+        steals = []
         loads = [round(os.getloadavg()[0], 2)]
         for _ in range(reps):
+            s0 = _steal_s()
             t0 = time.perf_counter()
             fn()
-            ts.append(time.perf_counter() - t0)
+            wall = time.perf_counter() - t0
+            ts.append(wall)
+            steals.append(round((_steal_s() - s0) / max(wall, 1e-9), 3))
             loads.append(round(os.getloadavg()[0], 2))
         timings[name] = round(min(ts), 3)
         spreads[name] = round(max(ts) - min(ts), 3)
         rep_times[name] = [round(t, 3) for t in ts]
         rep_load[name] = loads
+        rep_steal[name] = steals
 
     # flagship: interleaved docs → scenes → AOI+date select → tile lattice.
     # The documents table is a *stored* table at the target scale (an
@@ -153,6 +172,7 @@ def main() -> None:
                 "query_spreads": spreads,
                 "query_rep_times": rep_times,
                 "query_rep_loadavg1m": rep_load,
+                "query_rep_steal_cps": rep_steal,
                 "reps": reps,
                 "sf": sf,
                 "n_docs": n_docs,

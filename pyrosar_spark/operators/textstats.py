@@ -187,3 +187,137 @@ def contamination(
             F.array_sort(F.collect_set("_eid")).alias("eval_ids"),
         )
     )
+
+
+def _tokens_norm(text: Column) -> Column:
+    """Normalized tokens shared by the repetition / tf-idf operators
+    (and their SQL oracles): lower-case, split on non-alphanumeric
+    runs, empties dropped."""
+    return F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != "")
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style per-document repetition quality signals
+    (Rae et al. 2021 §A1.1: documents dominated by one repeated
+    n-gram are boilerplate):
+
+    - ``dup_2gram_frac`` — fraction of token 2-grams that are repeats
+      of an earlier one (1 − distinct/total);
+    - ``top_2gram_count`` — multiplicity of the most frequent 2-gram;
+    - ``top_2gram_frac`` — fraction of tokens covered by it
+      (2·count / n_tokens, capped at 1).
+
+    Shape for 100 TB: every metric is computed INSIDE the row with JVM
+    higher-order functions — no explode, no shuffle, no Python. The
+    top-gram multiplicity is a run-length scan over the sorted gram
+    array (``aggregate`` with a (prev, run, best) struct accumulator),
+    O(g log g) per document vs the oracle's independent O(g²)
+    count-per-distinct-gram formulation, so the two sides share no
+    algorithm shape.
+    """
+    toks = _tokens_norm(F.col(text_col))
+    # guard the <2-token case: sequence(1, 0) is DESCENDING in Spark
+    # and element_at(., 0) raises under ANSI — branch to [] instead
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_tok = F.size(toks)
+    n_gram = F.size(grams)
+    # run-length scan over the sorted grams: best = longest equal run
+    best_run = F.aggregate(
+        F.sort_array(grams),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(g == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    dup_frac = F.when(n_gram > 0, 1.0 - F.size(F.array_distinct(grams)) / n_gram).otherwise(
+        F.lit(0.0)
+    )
+    top_count = F.when(n_gram > 0, best_run).otherwise(F.lit(0))
+    top_frac = F.when(
+        n_tok > 0, F.least(top_count * 2.0 / n_tok, F.lit(1.0))
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.round(dup_frac, 6).alias("dup_2gram_frac"),
+        top_count.alias("top_2gram_count"),
+        F.round(top_frac, 6).alias("top_2gram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_broadcast_threshold: int = 50_000_000,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smooth idf:
+    ``tf/n_tokens · (ln((N+1)/(df+1)) + 1)``), rank ties broken by
+    term so the ordering is total and engine-portable.
+
+    Shape for 100 TB: three aggregations, each justified —
+    1. ``tf`` groups the exploded tokens by (doc, term): one shuffle
+       over token volume, unavoidable for exact term counts, with
+       map-side partial aggregation collapsing within-partition
+       repeats before the wire.
+    2. ``dfreq`` re-aggregates **tf** (already one row per (doc,
+       term)) by term — the input to this second shuffle is the
+       deduplicated pair set, orders of magnitude smaller than the
+       token stream.
+    3. The vocabulary-sized ``dfreq`` joins back with an explicit
+       ``broadcast()`` hint when the caller vouches the vocabulary
+       fits (``df_broadcast_threshold`` > 0, the default — natural-
+       language vocabularies are ~10⁷ even at web scale); pass 0 to
+       drop the hint and let AQE's runtime shuffle-stats decide (the
+       safe setting for adversarial key spaces like raw n-grams,
+       where the "vocabulary" is corpus-sized).
+    The final per-doc top-k is a window over (doc), partial-ranked
+    inside partitions by AQE.
+    """
+    toks_col = _tokens_norm(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.size(toks_col).alias("_n"), F.explode(toks_col).alias("term")
+    )
+    tf = base.groupBy(id_col, "term").agg(
+        F.count("*").alias("_c"), F.first("_n").alias("_n")
+    )
+    n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    if df_broadcast_threshold > 0:
+        dfreq = F.broadcast(dfreq)
+    from pyspark.sql import Window
+
+    scored = tf.join(dfreq, on="term").select(
+        F.col(id_col),
+        F.col("term"),
+        F.round(
+            (F.col("_c").cast("double") / F.col("_n"))
+            * (F.log((n_docs + 1.0) / (F.col("_df") + 1.0)) + 1.0),
+            6,
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tfidf")
+    )
