@@ -52,7 +52,13 @@ def _render_span(kind: Column, text: Column, media_ref: Column, offset: Column) 
 
 def span_digest(docs: DataFrame) -> DataFrame:
     """(doc_id, n_spans, digest) computed directly on the stored span
-    arrays — the no-redistribution reference rendering."""
+    arrays — the no-redistribution reference rendering.
+
+    NULL poisoning is explicit: ``array_join`` silently SKIPS null
+    elements (it does not null the result), which would let a
+    corrupted-to-NULL span vanish from the digest — so a document with
+    any null-rendered span gets a NULL digest instead, which can never
+    equal the oracle's."""
     rendered = F.transform(
         "spans",
         lambda s: _render_span(s["kind"], s["text"], s["media_ref"], s["offset"]),
@@ -60,7 +66,11 @@ def span_digest(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         F.size("spans").alias("n_spans"),
-        F.md5(F.array_join(rendered, _RS)).alias("digest"),
+        F.when(
+            F.exists(rendered, lambda r: r.isNull()), F.lit(None).cast("string")
+        )
+        .otherwise(F.md5(F.array_join(rendered, _RS)))
+        .alias("digest"),
     )
 
 
