@@ -821,6 +821,67 @@ def q_xmlparse_dimap(spark, sf):
     ).orderBy("doc_id")
 
 
+def q_dimap_incidence(spark, sf):
+    """The COMPLETE DIMAP incidence cascade (drivers.py:897-918)
+    including the last-resort ENVI raster read that was COVERAGE.md's
+    one documented deviation: rows rotate through (a) near/far
+    metadata, (b) the 99999-sentinel → midSwath-mean fallback, and
+    (c) doc_id%7==0 rows with NO incidence metadata at all, resolved
+    by mean-of-nonzero over a synthetic ``incident_angle.img``
+    (rotating ENVI dtypes f4/i2/f8/u2, both byte orders, junk header
+    offsets). Engine decodes only (hdr, payload); the oracle
+    aggregates the independently-stored expected pixels."""
+    from pyrosar_spark.datagen import generate_incidence_rasters
+    from pyrosar_spark.operators.envi import fill_incidence_from_rasters
+    from pyrosar_spark.operators.formats import parse_dimap
+
+    d = _t(spark, sf, "documents")
+    did = F.col("doc_id")
+    md = lambda n, v: F.concat(F.lit(f'<MDATTR name="{n}">'), v, F.lit("</MDATTR>"))  # noqa: E731
+    inc_meta = (
+        F.when(did % 7 == 0, F.lit(""))
+        .when(
+            did % 5 == 0,
+            F.concat(
+                md("incidence_near", F.lit("99999.0")),
+                md("incidence_far", F.lit("99999.0")),
+                md("incidenceAngleMidSwath", (20 + did % 10).cast("string")),
+                md("incidenceAngleMidSwath", (30 + did % 10).cast("string")),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                md("incidence_near", (20 + did % 10).cast("string")),
+                md("incidence_far", (40 + did % 10).cast("string")),
+            )
+        )
+    )
+    xml = F.concat(
+        F.lit('<Dimap_Document><MDElem name="Abstracted_Metadata">'),
+        md("MISSION", F.lit("SENTINEL-1A")),
+        md("ACQUISITION_MODE", F.lit("IW")),
+        md("PASS", F.lit("DESCENDING")),
+        inc_meta,
+        F.lit("</MDElem><PRODUCT_TYPE>GRD</PRODUCT_TYPE></Dimap_Document>"),
+    )
+    parsed = parse_dimap(d.select("doc_id", xml.alias("xml")), "xml").select(
+        "doc_id", "incidence"
+    )
+    rasters = _handoff(generate_incidence_rasters(spark, sf), "inc_rasters", sf)
+    return (
+        fill_incidence_from_rasters(parsed, rasters)
+        .select(
+            "doc_id",
+            F.round("incidence", 6).alias("incidence"),
+            F.when(did % 7 == 0, F.lit("raster"))
+            .when(did % 5 == 0, F.lit("metadata_mid"))
+            .otherwise(F.lit("metadata_nf"))
+            .alias("inc_source"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_xmlparse_tsx(spark, sf):
     """TSX annotation XML parse (S4, reference ``drivers.py:2354-2392``)
     incl. the GEOREF gridPoint grid with the >180° west shift."""
@@ -1423,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_roundtrip": q_span_roundtrip,
         "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "dimap_incidence": q_dimap_incidence,
     }
 
 
@@ -1447,7 +1509,8 @@ def _ensure_handoffs(sf_dir: str = "/root/testdata/sf0.01") -> None:
     (over)written them and this is a no-op."""
     import os
 
-    needed = ["scenes", "osv", "chips_bn", "chips_tiles", "geo_ads", "docs"]
+    needed = ["scenes", "osv", "chips_bn", "chips_tiles", "geo_ads", "docs",
+              "inc_rasters"]
     if all(
         os.path.exists(f"{_oracle_dir(sf_dir)}/{n}.parquet/_SUCCESS")
         for n in needed
@@ -1475,6 +1538,9 @@ def _ensure_handoffs(sf_dir: str = "/root/testdata/sf0.01") -> None:
 
     _handoff(generate_geo_ads(spark, sf_dir), "geo_ads", sf_dir)
     _handoff(docs_from_corpus(spark, sf_dir), "docs", sf_dir)
+    from pyrosar_spark.datagen import generate_incidence_rasters
+
+    _handoff(generate_incidence_rasters(spark, sf_dir), "inc_rasters", sf_dir)
 
 
 def _mask_sql_list(n_hashes: int) -> str:
@@ -2113,6 +2179,27 @@ def _text_r5_oracle_sqls() -> dict[str, str]:
                            least(topc * 2.0 / len(tk), 1.0)
                          ELSE 0.0 END, 6) AS top_2gram_frac
             FROM m ORDER BY doc_id
+        """,
+        "dimap_incidence": f"""
+            WITH r AS (
+                SELECT doc_id,
+                       list_filter(e_px, x -> x <> 0) AS nz
+                FROM {_oracle_scan('inc_rasters')}
+            )
+            SELECT d.doc_id,
+                   round(CASE
+                     WHEN d.doc_id % 7 = 0 THEN
+                       list_aggregate(r.nz, 'sum') / len(r.nz)
+                     WHEN d.doc_id % 5 = 0 THEN
+                       ((20 + d.doc_id % 10) + (30 + d.doc_id % 10)) / 2.0
+                     ELSE
+                       ((20 + d.doc_id % 10) + (40 + d.doc_id % 10)) / 2.0
+                   END, 6) AS incidence,
+                   CASE WHEN d.doc_id % 7 = 0 THEN 'raster'
+                        WHEN d.doc_id % 5 = 0 THEN 'metadata_mid'
+                        ELSE 'metadata_nf' END AS inc_source
+            FROM documents d LEFT JOIN r USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "tfidf_top_terms": f"""
             WITH t AS (

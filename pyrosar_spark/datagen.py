@@ -410,3 +410,64 @@ def generate_osv(spark: SparkSession, n_files: int = 2000, seed: int = 42) -> Da
         stop.alias("stop"),
         fname.alias("filename"),
     ).distinct()
+
+
+def generate_incidence_rasters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic ENVI tie-point rasters (``tie_point_grids/
+    incident_angle.img`` + ``.hdr``) for the documents whose DIMAP
+    metadata carries no incidence at all (``doc_id % 7 == 0`` in the
+    ``dimap_incidence`` query) — alongside the EXPECTED pixel values as
+    a plain double array, the same engine-vs-oracle split as
+    :func:`generate_geo_ads`: the engine decodes only (hdr, payload);
+    the oracle aggregates ``e_px``.
+
+    The grid rotates through ENVI data types f4/i2/f8/u2, both byte
+    orders, and a 16-byte junk header offset on every third raster.
+    Pixel values are dyadic (quarters / small ints), so float32 round-
+    trips and any-order summation are bitwise exact; every 11th pixel
+    (phase 3) is zeroed to exercise the reference's non-zero mask
+    (``drivers.py:916``)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id")
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+    out_schema = "doc_id bigint, hdr string, payload binary, e_px array<double>"
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                samples = 4 + did % 5
+                lines = 8
+                code = (4, 2, 5, 12)[(did // 7) % 4]
+                big = did % 2 == 1
+                offset = 16 if did % 3 == 0 else 0
+                n = samples * lines
+                raw = (did * 31 + np.arange(n) * 7) % 241
+                if code in (4, 5):
+                    vals = raw / 4.0
+                else:
+                    vals = raw.astype(np.int64)
+                vals = np.where(np.arange(n) % 11 == 3, 0, vals)
+                np_dt = {4: "f4", 2: "i2", 5: "f8", 12: "u2"}[code]
+                arr = vals.astype((">" if big else "<") + np_dt)
+                payload = (b"\xab" * offset) + arr.tobytes()
+                hdr = (
+                    "ENVI\n"
+                    f"samples = {samples}\n"
+                    f"lines = {lines}\n"
+                    "bands = 1\n"
+                    f"header offset = {offset}\n"
+                    f"data type = {code}\n"
+                    "interleave = bsq\n"
+                    f"byte order = {1 if big else 0}\n"
+                )
+                rows.append((did, hdr, payload, [float(v) for v in vals]))
+            yield pd.DataFrame(rows, columns=["doc_id", "hdr", "payload", "e_px"])
+
+    return docs.mapInPandas(build, out_schema)

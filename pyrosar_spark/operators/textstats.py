@@ -321,3 +321,40 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tfidf")
     )
+
+
+def line_repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher's line/paragraph duplication signals (Rae et al. 2021
+    §A1.1) — the complement of :func:`repetition_stats` for corpora
+    with layout: fraction of duplicate lines / paragraphs (count and
+    character mass). In-row higher-order functions, zero shuffle, same
+    scale shape as the n-gram variant. (The driver's synthetic corpus
+    has no newlines, so this ships with unit goldens rather than a
+    contract oracle — on real web text these four numbers are the
+    boilerplate detector.)"""
+    out = {}
+    for name, sep in (("line", "\n"), ("para", "\n\n")):
+        units = F.filter(
+            F.transform(F.split(F.col(text_col), sep if name == "para" else r"\n"),
+                        lambda u: F.trim(u)),
+            lambda u: u != "",
+        )
+        n = F.size(units)
+        n_dist = F.size(F.array_distinct(units))
+        chars = F.aggregate(
+            units, F.lit(0), lambda acc, u: acc + F.length(u)
+        )
+        # character mass of the duplicate occurrences: total chars minus
+        # chars of one representative per distinct unit
+        dist_chars = F.aggregate(
+            F.array_distinct(units), F.lit(0), lambda acc, u: acc + F.length(u)
+        )
+        out[f"dup_{name}_frac"] = F.round(
+            F.when(n > 0, (n - n_dist) / n).otherwise(F.lit(0.0)), 6
+        )
+        out[f"dup_{name}_char_frac"] = F.round(
+            F.when(chars > 0, (chars - dist_chars) / chars).otherwise(F.lit(0.0)), 6
+        )
+    return df.select(F.col(id_col), *[v.alias(k) for k, v in out.items()])

@@ -160,3 +160,30 @@ def test_tfidf_broadcast_plan(spark):
     assert "ResolvedHint" not in analyzed, analyzed
     analyzed_hinted = tfidf_top_terms(df)._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" in analyzed_hinted, analyzed_hinted
+
+
+def test_line_repetition_golden(spark):
+    from pyrosar_spark.operators.textstats import line_repetition_stats
+
+    rows = [
+        (0, "aaa\nbbb\naaa\nccc"),          # 4 lines, 1 dup ("aaa")
+        (1, "para one\n\npara one\n\nx"),    # paras: dup "para one"
+        (2, "no newlines at all"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in line_repetition_stats(df).collect()}
+    assert got[0]["dup_line_frac"] == 0.25
+    # dup char mass: one extra "aaa" (3 chars) of 12 total
+    assert got[0]["dup_line_char_frac"] == 0.25
+    assert got[1]["dup_para_frac"] == round(1 / 3, 6)
+    assert got[2]["dup_line_frac"] == 0.0 and got[2]["dup_para_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0 and got[3]["dup_line_char_frac"] == 0.0
+
+
+def test_line_repetition_no_shuffle(spark):
+    from pyrosar_spark.operators.textstats import line_repetition_stats
+
+    df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
+    plan = line_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
