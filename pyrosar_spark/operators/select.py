@@ -232,8 +232,20 @@ def select(
         if aoi_refine == "auto" and aoi_ring_is_convex(ring):
             # JVM SAT path over the RAW geometry column — corners when
             # available (skips the hull entirely), else the ring
-            # vertices (hull points; same hull, same answer)
-            if "corners" in df.columns:
+            # vertices (hull points; same hull, same answer).
+            # The SAT unrolls to dozens of element_at references; when
+            # the geometry column is itself a computed expression (the
+            # deferred from_json parse), CollapseProject would inline
+            # that parse subtree into EVERY reference — a ~180k-char
+            # plan costing seconds of Catalyst analysis per query on
+            # the driver (measured; the ANN de-literal lesson again).
+            # explode(array(col)) is a one-column Generate barrier:
+            # the parse evaluates once, the SAT references the
+            # generator output attribute. One row in, one row out;
+            # a NULL geometry survives as a one-element [NULL] array.
+            geo = "corners" if "corners" in df.columns else "ring"
+            df = df.withColumn(geo, F.explode(F.array(F.col(geo))))
+            if geo == "corners":
                 df = df.where(corners_intersect_aoi(F.col("corners"), ring))
             else:
                 df = df.where(flat_ring_intersects_aoi(F.col("ring"), ring))

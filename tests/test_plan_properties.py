@@ -213,3 +213,41 @@ def test_python_stages_are_arrow(spark):
     p2 = plan(concave)
     assert "BatchEvalPython" not in p2
     assert "ArrowEvalPython" in p2  # the Arrow fallback refine
+
+
+def test_span_roundtrip_plan_shape(spark):
+    """Round 5: the adversarial span scatter + reassembly is exactly
+    two exchanges (the content-hash repartition and the groupBy) with
+    no Python stage and no join — the digest is pure JVM columnar."""
+    from pyrosar_spark.datagen import generate_documents
+    from pyrosar_spark.operators.spans import roundtrip_digest
+
+    p = plan(roundtrip_digest(generate_documents(spark, 200, seed=5)))
+    n_ex = p.count("Exchange")
+    assert n_ex == 2, f"expected 2 exchanges (scatter + regroup), got {n_ex}:\n{p}"
+    assert "EvalPython" not in p and "InPandas" not in p
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in p
+
+
+def test_dimap_incidence_decode_gated_by_semijoin(spark):
+    """Round 5: the ENVI decode (the only Python stage) must sit ABOVE
+    a left-semi join against the NULL-incidence rows — payload bytes of
+    metadata-carrying documents are never decoded (and with column
+    pruning, never read)."""
+    from pyrosar_spark.operators.envi import fill_incidence_from_rasters
+
+    parsed = spark.createDataFrame(
+        [(1, 35.5), (2, None)], "doc_id long, incidence double"
+    )
+    rasters = spark.createDataFrame(
+        [(1, "h", bytearray(b"")), (2, "h", bytearray(b""))],
+        "doc_id long, hdr string, payload binary",
+    )
+    p = plan(fill_incidence_from_rasters(parsed, rasters))
+    assert "MapInPandas" in p, p
+    assert "LeftSemi" in p, p
+    assert "BatchEvalPython" not in p
+    # the decode stage consumes the semi-join output, not the raw
+    # raster scan: the plan orders LeftSemi below MapInPandas
+    assert p.index("MapInPandas") < p.index("LeftSemi"), p
