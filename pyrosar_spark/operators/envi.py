@@ -98,11 +98,11 @@ def raster_mean_nonzero(
                 nz = arr[arr != 0]
                 means.append(float(nz.mean()) if nz.size else None)
             yield pd.DataFrame(
-                {"doc_id": pdf[id_col], "r_mean": pd.array(means, dtype="float64")}
+                {id_col: pdf[id_col], "r_mean": pd.array(means, dtype="float64")}
             )
 
     return rasters.select(id_col, hdr_col, payload_col).mapInPandas(
-        run, f"doc_id {dict(rasters.dtypes)[id_col]}, r_mean double"
+        run, f"{id_col} {dict(rasters.dtypes)[id_col]}, r_mean double"
     )
 
 
@@ -122,7 +122,8 @@ def fill_incidence_from_rasters(
     need = parsed.filter(F.col(incidence_col).isNull())
     have = parsed.filter(F.col(incidence_col).isNotNull())
     means = raster_mean_nonzero(
-        rasters.join(need.select(id_col), on=id_col, how="leftsemi")
+        rasters.join(need.select(id_col), on=id_col, how="leftsemi"),
+        id_col=id_col,
     )
     filled = (
         need.drop(incidence_col)

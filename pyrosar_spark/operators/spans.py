@@ -75,18 +75,34 @@ def span_digest(docs: DataFrame) -> DataFrame:
 
 
 def explode_spans(docs: DataFrame) -> DataFrame:
-    """One row per span: (doc_id, kind, text, media_ref, offset)."""
+    """One row per span: (doc_id, kind, text, media_ref, offset).
+
+    ``explode_outer``, not ``explode``: a document whose spans array is
+    EMPTY must keep a (doc_id, all-NULL) marker row — with inner
+    explode the document would vanish from the roundtrip entirely,
+    turning total span loss into a silently-passing absence instead of
+    a visible n_spans=0 row (the oracle digests the stored empty array
+    to md5(''))."""
     return docs.select(
-        "doc_id", F.explode("spans").alias("s")
+        "doc_id", F.explode_outer("spans").alias("s")
     ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
 
 
 def reassemble_spans(exploded: DataFrame) -> DataFrame:
     """Rebuild (doc_id, spans) from scattered span rows; offset is the
     authoritative order (``sort_array`` on structs sorts by the first
-    field, so offset leads the struct)."""
-    span_struct = F.struct(
-        F.col("offset"), F.col("kind"), F.col("text"), F.col("media_ref")
+    field, so offset leads the struct). The all-NULL marker rows that
+    ``explode_outer`` emits for empty-spans documents are dropped from
+    the rebuilt array (``collect_list`` skips NULL inputs), restoring
+    exactly ``spans = []`` for those documents — a REAL span can never
+    be mistaken for a marker because the input contract has non-null
+    kind/offset, and a corrupted-to-NULL field poisons the digest
+    rather than hiding (span_digest's NULL rule)."""
+    span_struct = F.when(
+        F.col("offset").isNotNull() | F.col("kind").isNotNull(),
+        F.struct(
+            F.col("offset"), F.col("kind"), F.col("text"), F.col("media_ref")
+        ),
     )
     return (
         exploded.groupBy("doc_id")

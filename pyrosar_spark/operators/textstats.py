@@ -210,25 +210,46 @@ def repetition_stats(
       (2·count / n_tokens, capped at 1).
 
     Shape for 100 TB: every metric is computed INSIDE the row with JVM
-    higher-order functions — no explode, no shuffle, no Python. The
-    top-gram multiplicity is a run-length scan over the sorted gram
-    array (``aggregate`` with a (prev, run, best) struct accumulator),
-    O(g log g) per document vs the oracle's independent O(g²)
-    count-per-distinct-gram formulation, so the two sides share no
-    algorithm shape.
+    higher-order functions — no shuffle, no Python. Both the token
+    array and the gram array are bound behind one-column Generate
+    barriers (``explode(array(..))``, one row in/one row out — the
+    select.py SAT lesson): higher-order functions are CodegenFallback
+    with no common-subexpression elimination, so without the barriers
+    the full lower+split+filter tokenization re-evaluates once per
+    reference and once per lambda element — O(n_tokens²·|text|) per
+    row. With them, tokenize once, build grams once (``zip_with`` over
+    two slices, no per-index ``element_at``), then every metric reads
+    the bound arrays. The top-gram multiplicity is a run-length scan
+    over the sorted gram array (``aggregate`` with a (prev, run, best)
+    struct accumulator), O(g log g) per document vs the oracle's
+    independent O(g²) count-per-distinct-gram formulation, so the two
+    sides share no algorithm shape.
+
+    NULL text propagates NULL metrics (matching the SQL oracle, where
+    every list function is NULL-strict) — without the guard, non-ANSI
+    ``size(NULL)`` is -1 and would report a nonsense token count.
     """
-    toks = _tokens_norm(F.col(text_col))
-    # guard the <2-token case: sequence(1, 0) is DESCENDING in Spark
-    # and element_at(., 0) raises under ANSI — branch to [] instead
-    grams = F.when(
+    # barrier 1: tokenize once
+    bound = df.select(
+        F.col(id_col),
+        F.explode(F.array(_tokens_norm(F.col(text_col)))).alias("_tk"),
+    )
+    toks = F.col("_tk")
+    # guard the <2-token case: slice with length 0 errors under ANSI;
+    # branch to [] instead (also covers NULL via the outer when)
+    grams_expr = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).when(F.size(toks) >= 0, F.array().cast("array<string>"))
+    # barrier 2: build grams once (carry _tk through for n_tokens)
+    bound = bound.select(
+        F.col(id_col), "_tk", F.explode(F.array(grams_expr)).alias("_gr")
+    )
+    grams = F.col("_gr")
     n_tok = F.size(toks)
     n_gram = F.size(grams)
     # run-length scan over the sorted grams: best = longest equal run
@@ -247,14 +268,15 @@ def repetition_stats(
         ),
         lambda acc: acc["best"],
     )
-    dup_frac = F.when(n_gram > 0, 1.0 - F.size(F.array_distinct(grams)) / n_gram).otherwise(
-        F.lit(0.0)
-    )
-    top_count = F.when(n_gram > 0, best_run).otherwise(F.lit(0))
+    # no `otherwise`: NULL n_gram/n_tok (NULL text) falls through to NULL
+    dup_frac = F.when(
+        n_gram > 0, 1.0 - F.size(F.array_distinct(grams)) / n_gram
+    ).when(n_gram == 0, F.lit(0.0))
+    top_count = F.when(n_gram > 0, best_run).when(n_gram == 0, F.lit(0))
     top_frac = F.when(
         n_tok > 0, F.least(top_count * 2.0 / n_tok, F.lit(1.0))
-    ).otherwise(F.lit(0.0))
-    return df.select(
+    ).when(n_tok == 0, F.lit(0.0))
+    return bound.select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.round(dup_frac, 6).alias("dup_2gram_frac"),
@@ -268,7 +290,7 @@ def tfidf_top_terms(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    df_broadcast_threshold: int = 50_000_000,
+    broadcast_df: bool = True,
 ) -> DataFrame:
     """Top-``k`` TF-IDF terms per document (smooth idf:
     ``tf/n_tokens · (ln((N+1)/(df+1)) + 1)``), rank ties broken by
@@ -278,40 +300,48 @@ def tfidf_top_terms(
     1. ``tf`` groups the exploded tokens by (doc, term): one shuffle
        over token volume, unavoidable for exact term counts, with
        map-side partial aggregation collapsing within-partition
-       repeats before the wire.
+       repeats before the wire. The tokenization is bound behind a
+       Generate barrier so it runs once per row, not once per
+       reference (HOFs are CodegenFallback — no CSE).
     2. ``dfreq`` re-aggregates **tf** (already one row per (doc,
        term)) by term — the input to this second shuffle is the
        deduplicated pair set, orders of magnitude smaller than the
        token stream.
     3. The vocabulary-sized ``dfreq`` joins back with an explicit
        ``broadcast()`` hint when the caller vouches the vocabulary
-       fits (``df_broadcast_threshold`` > 0, the default — natural-
-       language vocabularies are ~10⁷ even at web scale); pass 0 to
-       drop the hint and let AQE's runtime shuffle-stats decide (the
-       safe setting for adversarial key spaces like raw n-grams,
-       where the "vocabulary" is corpus-sized).
-    The final per-doc top-k is a window over (doc), partial-ranked
-    inside partitions by AQE.
+       fits (``broadcast_df=True``, the default — natural-language
+       vocabularies are ~10⁷ even at web scale); pass False to let
+       AQE's runtime shuffle-stats decide (the safe setting for
+       adversarial key spaces like raw n-grams, where the
+       "vocabulary" is corpus-sized).
+    The corpus size N rides the plan as a broadcast one-row aggregate
+    (no eager ``df.count()`` job — constructing the DataFrame stays
+    side-effect-free and N costs nothing beyond the scan the tf stage
+    already pays). The final per-doc top-k is a window over (doc),
+    partial-ranked inside partitions by AQE.
     """
-    toks_col = _tokens_norm(F.col(text_col))
-    base = df.select(
-        F.col(id_col), F.size(toks_col).alias("_n"), F.explode(toks_col).alias("term")
+    bound = df.select(
+        F.col(id_col),
+        F.explode(F.array(_tokens_norm(F.col(text_col)))).alias("_tk"),
+    )
+    base = bound.select(
+        F.col(id_col), F.size("_tk").alias("_n"), F.explode("_tk").alias("term")
     )
     tf = base.groupBy(id_col, "term").agg(
         F.count("*").alias("_c"), F.first("_n").alias("_n")
     )
-    n_docs = df.count()
+    n_docs = F.broadcast(df.select(F.count("*").alias("_nd")))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    if df_broadcast_threshold > 0:
+    if broadcast_df:
         dfreq = F.broadcast(dfreq)
     from pyspark.sql import Window
 
-    scored = tf.join(dfreq, on="term").select(
+    scored = tf.join(dfreq, on="term").crossJoin(n_docs).select(
         F.col(id_col),
         F.col("term"),
         F.round(
             (F.col("_c").cast("double") / F.col("_n"))
-            * (F.log((n_docs + 1.0) / (F.col("_df") + 1.0)) + 1.0),
+            * (F.log((F.col("_nd") + 1.0) / (F.col("_df") + 1.0)) + 1.0),
             6,
         ).alias("tfidf"),
     )
@@ -334,13 +364,28 @@ def line_repetition_stats(
     has no newlines, so this ships with unit goldens rather than a
     contract oracle — on real web text these four numbers are the
     boilerplate detector.)"""
+    # line = \r?\n-separated; paragraph = separated by a blank-line run
+    # (one-or-more newlines with only horizontal whitespace between) —
+    # plain "\n\n" would split "p\n\n\np" into ("p", "\np") and the
+    # stray newline would defeat the dedup on real CRLF/blank-run text
     out = {}
-    for name, sep in (("line", "\n"), ("para", "\n\n")):
-        units = F.filter(
-            F.transform(F.split(F.col(text_col), sep if name == "para" else r"\n"),
+    # chained Generate barriers (one generator per Project) bind each
+    # unit array so split+trim run once, not once per metric reference
+    # (HOFs have no CSE)
+    carry = [F.col(id_col)]
+    for name, sep_re in (("line", r"\r?\n"), ("para", r"\r?\n[ \t]*(\r?\n[ \t]*)+")):
+        units_expr = F.filter(
+            F.transform(F.split(F.col(text_col), sep_re),
                         lambda u: F.trim(u)),
             lambda u: u != "",
         )
+        df = df.select(
+            *carry, F.col(text_col),
+            F.explode(F.array(units_expr)).alias(f"_u_{name}"),
+        )
+        carry.append(F.col(f"_u_{name}"))
+    for name in ("line", "para"):
+        units = F.col(f"_u_{name}")
         n = F.size(units)
         n_dist = F.size(F.array_distinct(units))
         chars = F.aggregate(

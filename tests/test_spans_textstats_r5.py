@@ -153,13 +153,15 @@ def test_tfidf_broadcast_plan(spark):
     )
     plan = tfidf_top_terms(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
-    # threshold=0 must drop the FORCED hint (UnresolvedHint in the
-    # logical plan); Spark may still choose broadcast from its own size
-    # estimate — that's the point: the decision moves to the planner/AQE
-    analyzed = tfidf_top_terms(df, df_broadcast_threshold=0)._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" not in analyzed, analyzed
+    # broadcast_df=False must drop the FORCED hint on the dfreq side;
+    # Spark may still choose broadcast from its own size estimate —
+    # that's the point: the decision moves to the planner/AQE. (The
+    # one-row corpus-count aggregate keeps its hint in both variants.)
+    analyzed = tfidf_top_terms(df, broadcast_df=False)._jdf.queryExecution().analyzed().toString()
     analyzed_hinted = tfidf_top_terms(df)._jdf.queryExecution().analyzed().toString()
-    assert "ResolvedHint" in analyzed_hinted, analyzed_hinted
+    assert analyzed_hinted.count("ResolvedHint") == analyzed.count("ResolvedHint") + 1, (
+        analyzed_hinted.count("ResolvedHint"), analyzed.count("ResolvedHint")
+    )
 
 
 def test_line_repetition_golden(spark):
@@ -187,3 +189,84 @@ def test_line_repetition_no_shuffle(spark):
     df = spark.createDataFrame([(0, "a\nb")], "doc_id long, text string")
     plan = line_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# review-pass regressions (round-5 self-review)
+# ---------------------------------------------------------------------------
+
+
+def test_empty_spans_doc_survives_roundtrip(spark):
+    """A doc whose spans array is EMPTY must appear in the roundtrip
+    output as n_spans=0 / md5('') — with inner explode it would vanish,
+    turning total span loss into a silently-passing absence."""
+    import hashlib
+
+    from pyrosar_spark.datagen import DOC_SCHEMA
+    from pyrosar_spark.operators.spans import roundtrip_digest
+
+    df = spark.createDataFrame(
+        [("full", [("text", "t", "", 0)]), ("empty", [])], DOC_SCHEMA
+    )
+    got = {r["doc_id"]: (r["n_spans"], r["digest"]) for r in roundtrip_digest(df).collect()}
+    assert set(got) == {"full", "empty"}
+    assert got["empty"] == (0, hashlib.md5(b"").hexdigest())
+
+
+def test_repetition_null_text_propagates(spark):
+    from pyrosar_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame([(0, None), (1, "a b a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    assert got[0]["n_tokens"] is None
+    assert got[0]["dup_2gram_frac"] is None
+    assert got[0]["top_2gram_count"] is None
+    assert got[1]["n_tokens"] == 4  # sanity: non-null rows unaffected
+
+
+def test_line_repetition_crlf_and_blank_runs(spark):
+    """CRLF endings and blank-line runs with stray whitespace must not
+    defeat the dedup (the review found '\\n\\n' splitting leaves a
+    leading newline glued to the next paragraph)."""
+    from pyrosar_spark.operators.textstats import line_repetition_stats
+
+    rows = [
+        (0, "a\r\na"),                   # CRLF lines, duplicate
+        (1, "p\n\n\np"),                 # blank run: 2 identical paras
+        (2, "p\n \t\n p \n\npX"),        # whitespace inside the run
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in line_repetition_stats(df).collect()}
+    assert got[0]["dup_line_frac"] == 0.5
+    assert got[1]["dup_para_frac"] == 0.5
+    assert got[2]["dup_para_frac"] == round(1 / 3, 6)  # "p","p","pX"
+
+
+def test_tfidf_lazy_no_eager_job(spark):
+    """Constructing the tf-idf frame must not run a Spark job (the
+    corpus count rides the plan as a broadcast one-row aggregate)."""
+    from pyrosar_spark.operators.textstats import tfidf_top_terms
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    _ = tfidf_top_terms(df, k=1)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "tfidf_top_terms construction launched a job"
+
+
+def test_envi_id_col_param(spark):
+    """raster_mean_nonzero / fill_incidence_from_rasters honor a
+    non-default id column (were hardcoded to doc_id)."""
+    import numpy as np
+
+    from pyrosar_spark.operators.envi import fill_incidence_from_rasters
+
+    hdr = "ENVI\nsamples = 2\nlines = 1\ndata type = 4\nbyte order = 0\n"
+    payload = bytearray(np.array([4.0, 6.0], dtype="<f4").tobytes())
+    parsed = spark.createDataFrame([(7, None)], "scene_id long, incidence double")
+    rasters = spark.createDataFrame(
+        [(7, hdr, payload)], "scene_id long, hdr string, payload binary"
+    )
+    got = fill_incidence_from_rasters(parsed, rasters, id_col="scene_id").collect()
+    assert got[0]["incidence"] == 5.0
