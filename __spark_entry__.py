@@ -376,6 +376,69 @@ def q_media_decode(spark, sf):
     ).orderBy("doc_id")
 
 
+def _media_payloads(spark, sf):
+    """documents → (doc_id, media_ref, payload) with the payload being
+    the utf-8 text bytes — the shared input of the multimodal pipeline
+    queries (ASCII corpus, so DuckDB's per-char ``ascii``/``md5`` see
+    the identical byte stream)."""
+    return _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("ref://"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def q_media_features(spark, sf):
+    """Feature-extract stage (REAL, no codec): L1-normalized 16-bucket
+    byte histogram per payload, exploded to (doc_id, bucket, frac) rows
+    so the oracle compares every vector component. One vectorized
+    np.bincount per Arrow batch; narrow plan (no shuffle before the
+    presentation sort). frac is a single IEEE double division in both
+    engines — bit-exact, no rounding needed."""
+    from pyrosar_spark.operators.media import extract_features
+
+    feats = extract_features(_media_payloads(spark, sf), n_buckets=16)
+    return (
+        feats.select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_bytes",
+            F.posexplode("features").alias("bucket", "frac"),
+        )
+        .orderBy("doc_id", "bucket")
+    )
+
+
+def q_media_frames(spark, sf):
+    """Frame-sampling stage: stubbed container probe (md5-derived
+    n_frames/fps, same convention as the fake image decoder), REAL
+    row-explosion plumbing — every 7th frame with its exact integer
+    timestamp ``frame_idx * 1000 // fps``. Stride 7 exercises the
+    non-divisible tail (last partial stride window)."""
+    from pyrosar_spark.operators.media import sample_frames
+
+    fr = sample_frames(_media_payloads(spark, sf), stride=7)
+    return fr.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "n_frames", "fps", "frame_idx", "ts_ms",
+    ).orderBy("doc_id", "frame_idx")
+
+
+def q_media_resize(spark, sf):
+    """Resize stage via the deterministic fake resizer (the REAL BMP
+    nearest-neighbor kernel is golden-tested in
+    tests/test_media_pipeline_r5.py — no full-pixel rasters exist in
+    the synthetic corpus): aspect-preserving integer downscale capped
+    at 256, token output payload whose length the oracle recomputes."""
+    from pyrosar_spark.operators.media import resize_media
+
+    rs = resize_media(_media_payloads(spark, sf), max_side=256)
+    return rs.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "width", "height", "out_width", "out_height",
+        F.octet_length("out_payload").alias("out_bytes"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # scene-engine queries over synthesized interleaved docs.
 #
@@ -1453,6 +1516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "embedding_stats": q_embedding_stats,
         "media_decode": q_media_decode,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
+        "media_resize": q_media_resize,
         "scene_select_tiles": q_scene_select_tiles,
         "scene_spatial_join": q_scene_spatial_join,
         "scene_knn": q_scene_knn,
@@ -1898,6 +1964,60 @@ def oracle_sql() -> dict[str, str]:
                    cast(1 + (h % 262144) // 512 as int) AS height,
                    cast(1 + h % 3 as int) AS channels
             FROM (SELECT doc_id, text, {_md5num("text")} AS h FROM documents)
+            ORDER BY doc_id
+        """,
+        # per-byte 16-bucket histogram: ascii(char) == byte because the
+        # corpus is pure ASCII (asserted by the parity of octet_length
+        # and length in media_decode); zero-count buckets materialized
+        # via the cross-joined bucket grid
+        "media_features": """
+            WITH cnt AS (
+                SELECT doc_id, (ascii(substr(text, i, 1)) * 16) // 256 AS bucket,
+                       count(*) AS c
+                FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
+                GROUP BY 1, 2
+            ), grid AS (
+                SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes, g.bucket
+                FROM documents d
+                CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+            )
+            SELECT grid.doc_id,
+                   cast(grid.n_bytes as int) AS n_bytes,
+                   cast(grid.bucket as int) AS bucket,
+                   coalesce(c.c, 0)::double / grid.n_bytes AS frac
+            FROM grid
+            LEFT JOIN cnt c ON c.doc_id = grid.doc_id AND c.bucket = grid.bucket
+            ORDER BY grid.doc_id, grid.bucket
+        """,
+        "media_frames": f"""
+            SELECT doc_id,
+                   cast(n_frames as int) AS n_frames,
+                   cast(fps as int) AS fps,
+                   cast(fi as int) AS frame_idx,
+                   cast((fi * 1000) // fps as bigint) AS ts_ms
+            FROM (SELECT doc_id, 1 + h % 240 AS n_frames, 12 + 6 * (h % 4) AS fps
+                  FROM (SELECT doc_id, {_md5num("text")} AS h FROM documents)),
+                 unnest(generate_series(0, n_frames - 1, 7)) AS u(fi)
+            ORDER BY doc_id, frame_idx
+        """,
+        # fake-resizer math: dims from the shared md5 convention,
+        # aspect-preserving floor-division downscale capped at 256;
+        # out_bytes = len('resized:{{ow}}x{{oh}}:') + 32 md5-hex chars
+        "media_resize": f"""
+            SELECT doc_id,
+                   cast(w as int) AS width, cast(ht as int) AS height,
+                   cast(ow as int) AS out_width, cast(oh as int) AS out_height,
+                   cast(length('resized:' || ow || 'x' || oh || ':') + 32 as int)
+                       AS out_bytes
+            FROM (
+                SELECT doc_id, w, ht,
+                       CASE WHEN greatest(w, ht) <= 256 THEN w
+                            ELSE greatest(1, (w * 256) // greatest(w, ht)) END AS ow,
+                       CASE WHEN greatest(w, ht) <= 256 THEN ht
+                            ELSE greatest(1, (ht * 256) // greatest(w, ht)) END AS oh
+                FROM (SELECT doc_id, 1 + h % 512 AS w, 1 + (h % 262144) // 512 AS ht
+                      FROM (SELECT doc_id, {_md5num("text")} AS h FROM documents))
+            )
             ORDER BY doc_id
         """,
     }

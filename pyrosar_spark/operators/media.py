@@ -16,6 +16,21 @@ environment:
  - :func:`resolve_media_refs` — explode chip spans to one row per
    ``media_ref`` and attach a deterministic synthetic payload
    (stand-in for the object-store fetch).
+ - :func:`extract_features` — REAL (not stubbed) content features: an
+   L1-normalized byte histogram folded to ``n_buckets``, one
+   vectorized ``np.bincount`` per Arrow batch. The output
+   ``array<double>`` plugs directly into the similarity operators
+   (cosine top-k / LSH / IVF ANN).
+ - :func:`sample_frames` — video frame sampling: probe each payload
+   for (n_frames, fps), emit one row per ``stride``-th frame with its
+   exact integer timestamp. Row EXPLOSION inside ``mapInPandas`` (a
+   batch of k payloads yields >>k rows) — the codec probe is stubbed
+   (:func:`fake_probe`), the batch-shape plumbing is real.
+ - :func:`resize_media` — aspect-preserving resize capped at
+   ``max_side``. :func:`fake_resizer` derives dims from the payload
+   hash (SQL-oracle path); :func:`bmp_resizer` is a REAL numpy
+   nearest-neighbor kernel over uncompressed 24-bpp BMP payloads,
+   proving the ``resizer=`` boundary carries an actual pixel codec.
 """
 
 from __future__ import annotations
@@ -96,6 +111,259 @@ def resolve_media_refs(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("s.media_ref").alias("media_ref"))
     payload = F.encode(F.concat(F.lit("payload:"), F.col("media_ref")), "utf-8")
     return chips.withColumn("payload", payload)
+
+
+FEATURES_SCHEMA = (
+    "doc_id string, media_ref string, n_bytes int, features array<double>"
+)
+
+
+def extract_features(
+    media: DataFrame,
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """L1-normalized byte-histogram features over binary payloads —
+    the feature-extract stage of the multimodal pipeline, and the only
+    one that needs NO codec: it is fully real in this container.
+
+    Byte ``b`` lands in bucket ``b * n_buckets // 256``; the histogram
+    is divided by the payload length (a single IEEE double division,
+    so a SQL oracle reproduces it bit-exactly). The whole Arrow batch
+    is folded with ONE ``np.bincount`` over ``segment * n_buckets +
+    bucket`` — no per-byte Python (the simhash kernel's segment trick,
+    dedup.py) — so a 100 TB corpus pays C-speed per partition with no
+    shuffle at all (narrow mapInPandas).
+
+    NULL payloads propagate NULL (n_bytes and features); EMPTY payloads
+    have no mass to normalize → n_bytes 0, features NULL.
+    """
+    if not 1 <= n_buckets <= 256:
+        raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            payloads = pdf[payload_col]
+            isnull = payloads.isna().to_numpy()
+            lengths = np.array(
+                [0 if (v is None or v is pd.NA) else len(v) for v in payloads],
+                dtype=np.int64,
+            )
+            bufs = [
+                np.frombuffer(bytes(v), dtype=np.uint8)
+                for v in payloads
+                if not (v is None or v is pd.NA) and len(v)
+            ]
+            cat = np.concatenate(bufs) if bufs else np.empty(0, dtype=np.uint8)
+            seg = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            buckets = cat.astype(np.int64) * n_buckets // 256
+            counts = np.bincount(
+                seg * n_buckets + buckets, minlength=n * n_buckets
+            ).reshape(n, n_buckets)
+            safe = np.maximum(lengths, 1)
+            feats = counts / safe[:, None]
+            features = [
+                None if (isnull[i] or lengths[i] == 0) else feats[i].tolist()
+                for i in range(n)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str),
+                    "media_ref": pdf[ref_col].astype(str),
+                    "n_bytes": pd.array(
+                        [None if isnull[i] else int(lengths[i]) for i in range(n)],
+                        dtype="Int32",
+                    ),
+                    "features": features,
+                }
+            )
+
+    return media.select(id_col, ref_col, payload_col).mapInPandas(
+        run, FEATURES_SCHEMA
+    )
+
+
+FRAMES_SCHEMA = (
+    "doc_id string, media_ref string, n_frames int, fps int, "
+    "frame_idx int, ts_ms bigint"
+)
+
+
+def fake_probe(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a video container probe (ffprobe
+    territory — no AV libraries in this container): (n_frames, fps)
+    derived from the payload md5, same convention as
+    :func:`fake_decoder` so SQL oracles reproduce it exactly."""
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    return 1 + h % 240, 12 + 6 * (h % 4)
+
+
+def sample_frames(
+    media: DataFrame,
+    stride: int,
+    probe: Callable[[bytes], tuple[int, int]] = fake_probe,
+    id_col: str = "doc_id",
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Every ``stride``-th frame of each video payload as its own row:
+    frame_idx ∈ {0, stride, 2·stride, …} < n_frames, with the exact
+    integer timestamp ``ts_ms = frame_idx * 1000 // fps`` (floor
+    division, not float, so engines agree bit-for-bit).
+
+    This is the row-EXPLOSION shape of ``mapInPandas``: one input
+    batch yields a frame table many times its size, built with
+    ``np.repeat`` + offset arithmetic (no per-frame Python). At scale
+    the output inherits the input partitioning — no shuffle; a
+    downstream repartition is the caller's choice when frame fan-out
+    is large. NULL payloads are dropped (no container to probe —
+    documented, mirrors ``identify``'s skip of unreadable scenes).
+    """
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keep = pdf[pdf[payload_col].notna()]
+            k = len(keep)
+            if k == 0:
+                continue
+            probes = np.array(
+                [probe(bytes(v)) for v in keep[payload_col]], dtype=np.int64
+            ).reshape(-1, 2)
+            n_frames, fps = probes[:, 0], probes[:, 1]
+            counts = (n_frames + stride - 1) // stride
+            total = int(counts.sum())
+            rep = np.repeat(np.arange(k), counts)
+            offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            frame_idx = (np.arange(total) - offsets[rep]) * stride
+            yield pd.DataFrame(
+                {
+                    "doc_id": keep[id_col].astype(str).to_numpy()[rep],
+                    "media_ref": keep[ref_col].astype(str).to_numpy()[rep],
+                    "n_frames": n_frames[rep].astype("int32"),
+                    "fps": fps[rep].astype("int32"),
+                    "frame_idx": frame_idx.astype("int32"),
+                    "ts_ms": frame_idx * 1000 // fps[rep],
+                }
+            )
+
+    return media.select(id_col, ref_col, payload_col).mapInPandas(
+        run, FRAMES_SCHEMA
+    )
+
+
+RESIZE_SCHEMA = (
+    "doc_id string, media_ref string, width int, height int, "
+    "out_width int, out_height int, out_payload binary"
+)
+
+
+def fake_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:
+    """Deterministic stand-in resize: dims from :func:`fake_decoder`,
+    aspect-preserving integer downscale capped at ``max_side`` (floor
+    division — SQL-reproducible), token output payload."""
+    w, h, _ = fake_decoder(payload)
+    side = max(w, h)
+    if side <= max_side:
+        ow, oh = w, h
+    else:
+        ow = max(1, w * max_side // side)
+        oh = max(1, h * max_side // side)
+    token = f"resized:{ow}x{oh}:{hashlib.md5(payload).hexdigest()}".encode()
+    return w, h, ow, oh, token
+
+
+def bmp_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:
+    """REAL nearest-neighbor resize for uncompressed 24-bpp BMP
+    payloads (numpy fancy-indexing, no image libraries): parses the
+    BITMAPINFOHEADER, resamples rows/columns in storage order (works
+    for bottom-up and top-down alike — the height SIGN is preserved),
+    and re-emits a valid BMP with 4-byte-aligned rows."""
+    import struct as _struct
+
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    (data_off,) = _struct.unpack_from("<I", payload, 10)
+    w, h_signed = _struct.unpack_from("<ii", payload, 18)
+    (bpp,) = _struct.unpack_from("<H", payload, 28)
+    if bpp != 24:
+        raise ValueError(f"bmp_resizer supports 24-bpp only, got {bpp}")
+    h = abs(h_signed)
+    row = (w * 3 + 3) & ~3
+    px = (
+        np.frombuffer(payload, dtype=np.uint8, count=row * h, offset=data_off)
+        .reshape(h, row)[:, : w * 3]
+        .reshape(h, w, 3)
+    )
+    side = max(w, h)
+    if side <= max_side:
+        ow, oh = w, h
+    else:
+        ow = max(1, w * max_side // side)
+        oh = max(1, h * max_side // side)
+    yi = np.arange(oh, dtype=np.int64) * h // oh
+    xi = np.arange(ow, dtype=np.int64) * w // ow
+    out = px[yi][:, xi]
+    orow = (ow * 3 + 3) & ~3
+    body = np.zeros((oh, orow), dtype=np.uint8)
+    body[:, : ow * 3] = out.reshape(oh, ow * 3)
+    size = 54 + orow * oh
+    header = _struct.pack("<2sIHHI", b"BM", size, 0, 0, 54) + _struct.pack(
+        "<IiiHHIIiiII",
+        40, ow, oh if h_signed > 0 else -oh, 1, 24, 0, orow * oh, 2835, 2835, 0, 0,
+    )
+    return w, h, ow, oh, header + body.tobytes()
+
+
+def resize_media(
+    media: DataFrame,
+    max_side: int,
+    resizer: Callable[[bytes, int], tuple[int, int, int, int, bytes]] = fake_resizer,
+    id_col: str = "doc_id",
+    ref_col: str = "media_ref",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Aspect-preserving resize of every media payload to fit in a
+    ``max_side``-square — the standard normalize step before feature
+    extraction in a training-data pipeline. Arrow-batched
+    ``mapInPandas``; narrow (no shuffle); the codec is injected like
+    :func:`decode_metadata`'s. NULL payloads propagate NULL dims and
+    payload (the row survives so lineage counts hold)."""
+    if max_side < 1:
+        raise ValueError(f"max_side must be >= 1, got {max_side}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = []
+            payloads = []
+            for v in pdf[payload_col]:
+                if v is None or v is pd.NA:
+                    dims.append((None, None, None, None))
+                    payloads.append(None)
+                else:
+                    w, h, ow, oh, out = resizer(bytes(v), max_side)
+                    dims.append((w, h, ow, oh))
+                    payloads.append(out)
+            cols = list(zip(*dims)) if dims else [[], [], [], []]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype(str),
+                    "media_ref": pdf[ref_col].astype(str),
+                    "width": pd.array(cols[0], dtype="Int32"),
+                    "height": pd.array(cols[1], dtype="Int32"),
+                    "out_width": pd.array(cols[2], dtype="Int32"),
+                    "out_height": pd.array(cols[3], dtype="Int32"),
+                    "out_payload": payloads,
+                }
+            )
+
+    return media.select(id_col, ref_col, payload_col).mapInPandas(
+        run, RESIZE_SCHEMA
+    )
 
 
 def media_ref_to_path(ref: "F.Column", base_dir: str) -> "F.Column":
