@@ -251,3 +251,35 @@ def test_dimap_incidence_decode_gated_by_semijoin(spark):
     # the decode stage consumes the semi-join output, not the raw
     # raster scan: the plan orders LeftSemi below MapInPandas
     assert p.index("MapInPandas") < p.index("LeftSemi"), p
+
+
+def test_media_pipeline_stages_are_narrow_arrow(spark, tmp_path):
+    """Round 5: the multimodal stages (feature-extract, frame-sample,
+    resize) are NARROW MapInPandas over the payload scan — zero
+    Exchange (a shuffle here would move raw media bytes, the most
+    expensive possible shuffle at 100 TB) and never BatchEvalPython.
+    The scan must also prune to the three pipeline columns."""
+    from pyrosar_spark.operators.media import (
+        extract_features,
+        resize_media,
+        sample_frames,
+    )
+
+    path = str(tmp_path / "media.parquet")
+    spark.range(200).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.concat(F.lit("ref://"), F.col("id")).alias("media_ref"),
+        F.encode(F.concat(F.lit("payload:"), F.col("id")), "utf-8").alias("payload"),
+        F.lit("extra-column-that-must-prune").alias("junk"),
+    ).write.parquet(path)
+    media = spark.read.parquet(path)
+
+    for stage in (
+        extract_features(media),
+        sample_frames(media, stride=5),
+        resize_media(media, max_side=64),
+    ):
+        p = plan(stage)
+        assert "Exchange" not in p, f"media stage shuffles payload bytes:\n{p}"
+        assert "MapInPandas" in p and "BatchEvalPython" not in p
+        assert "junk" not in p.split("ReadSchema:")[-1]
