@@ -143,18 +143,31 @@ def main() -> None:
                          ">= 0.9 are both captured (min 4 cycles)")
     args = ap.parse_args()
 
-    # 90 s between levels: the 1-min loadavg needs ~1.5 decay constants
-    # to fall from our own previous level's ~4-6 to under the baseline
-    # threshold — a 10 s gap made the harness flag its own tail as a
-    # "storm" (first run, cycle 0: l16 baseline 3.25 was pure decay)
-    settle = int(os.environ.get("QUIET_SETTLE_SEC", "90"))
+    # base pause between levels; settle_until_quiet() then polls out
+    # the rest of our own 1-min-loadavg decay (see its docstring)
+    settle = int(os.environ.get("QUIET_SETTLE_SEC", "30"))
+
+    def settle_until_quiet() -> None:
+        """Fixed pause, then wait out the 1-min-loadavg decay of OUR OWN
+        previous JVM. A fixed 90 s lands exactly on the decay boundary:
+        level-16's in-run ~13 decays to ~2.9-3.1 after 90 s, and r5c
+        cycle 1 was voided at l4 baseline 3.02 (gate 3.0) by the
+        harness's own tail while its in-run load (4.1 at level 4 ⇒
+        ambient ≈ 0) and steal (0.002 cps) proved the window clean.
+        Polling until the loadavg is comfortably under the gate (300 s
+        cap) makes the baseline sample measure EXOGENOUS load — the
+        gate's whole purpose — without relaxing the gate itself."""
+        time.sleep(settle)
+        deadline = time.time() + 300
+        while time.time() < deadline and os.getloadavg()[0] > QUIET_BASELINE - 0.3:
+            time.sleep(10)
     best_pair = None
     proxy_vals = []
     with open(args.log, "a") as log:
         for cycle in range(args.pairs):
-            time.sleep(settle)
+            settle_until_quiet()
             l4 = run_level(4, args.reps)
-            time.sleep(settle)
+            settle_until_quiet()
             l16 = run_level(16, args.reps)
             rec = {
                 "cycle": cycle,
@@ -165,9 +178,9 @@ def main() -> None:
                 "pair_quiet": l4["quiet"] and l16["quiet"],
             }
             if args.proxy_every and cycle % args.proxy_every == args.proxy_every - 1:
-                time.sleep(settle)
+                settle_until_quiet()
                 l2 = run_level(2, args.reps)
-                time.sleep(settle)
+                settle_until_quiet()
                 l8 = run_level(8, args.reps)
                 rec["l2"], rec["l8"] = l2, l8
                 rec["eff_2_8"] = eff(l2, l8)
