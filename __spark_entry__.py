@@ -364,12 +364,7 @@ def q_embedding_stats(spark, sf):
 def q_media_decode(spark, sf):
     from pyrosar_spark.operators.media import decode_metadata
 
-    d = _t(spark, sf, "documents").select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.concat(F.lit("ref://"), F.col("doc_id").cast("string")).alias("media_ref"),
-        F.encode(F.col("text"), "utf-8").alias("payload"),
-    )
-    meta = decode_metadata(d)
+    meta = decode_metadata(_media_payloads(spark, sf))
     return meta.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         "n_bytes", "width", "height", "channels",
@@ -394,7 +389,12 @@ def q_media_features(spark, sf):
     so the oracle compares every vector component. One vectorized
     np.bincount per Arrow batch; narrow plan (no shuffle before the
     presentation sort). frac is a single IEEE double division in both
-    engines — bit-exact, no rounding needed."""
+    engines — bit-exact, no rounding needed.
+
+    Empty/NULL-text docs have NULL features, which plain posexplode
+    drops — the oracle's grid filters ``length(text) > 0`` to match
+    (the shipped corpus has no such docs at any sf, but the query pair
+    must not diverge if one ever appears)."""
     from pyrosar_spark.operators.media import extract_features
 
     feats = extract_features(_media_payloads(spark, sf), n_buckets=16)
@@ -1977,9 +1977,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents, unnest(range(1, length(text) + 1)) AS u(i)
                 GROUP BY 1, 2
             ), grid AS (
+                -- length(text) > 0 mirrors posexplode dropping the
+                -- NULL feature vector of an empty/NULL-text doc
                 SELECT d.doc_id, octet_length(encode(d.text)) AS n_bytes, g.bucket
                 FROM documents d
                 CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) g
+                WHERE length(d.text) > 0
             )
             SELECT grid.doc_id,
                    cast(grid.n_bytes as int) AS n_bytes,

@@ -124,6 +124,7 @@ def extract_features(
     id_col: str = "doc_id",
     ref_col: str = "media_ref",
     payload_col: str = "payload",
+    chunk_bytes: int = 16 << 20,
 ) -> DataFrame:
     """L1-normalized byte-histogram features over binary payloads —
     the feature-extract stage of the multimodal pipeline, and the only
@@ -139,9 +140,19 @@ def extract_features(
 
     NULL payloads propagate NULL (n_bytes and features); EMPTY payloads
     have no mass to normalize → n_bytes 0, features NULL.
+
+    Peak memory is bounded: the concatenated byte view is processed in
+    fixed 16 MiB chunks whose per-byte int64 flat indices are the only
+    wide temporaries (a full-batch ``np.repeat`` segment array would
+    cost ~25× the payload bytes on megabyte media); the per-chunk
+    segment ids come from ``np.searchsorted`` against the cumulative
+    lengths, so nothing scales with the whole batch's byte count.
     """
     if not 1 <= n_buckets <= 256:
         raise ValueError(f"n_buckets must be in [1, 256], got {n_buckets}")
+    if chunk_bytes < 1:
+        raise ValueError(f"chunk_bytes must be >= 1, got {chunk_bytes}")
+    chunk = chunk_bytes
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -158,11 +169,16 @@ def extract_features(
                 if not (v is None or v is pd.NA) and len(v)
             ]
             cat = np.concatenate(bufs) if bufs else np.empty(0, dtype=np.uint8)
-            seg = np.repeat(np.arange(n, dtype=np.int64), lengths)
-            buckets = cat.astype(np.int64) * n_buckets // 256
-            counts = np.bincount(
-                seg * n_buckets + buckets, minlength=n * n_buckets
-            ).reshape(n, n_buckets)
+            ends = np.cumsum(lengths)
+            counts = np.zeros(n * n_buckets, dtype=np.int64)
+            for lo in range(0, len(cat), chunk):
+                part = cat[lo : lo + chunk]
+                seg = np.searchsorted(ends, np.arange(lo, lo + len(part)), "right")
+                buckets = part.astype(np.int64) * n_buckets // 256
+                counts += np.bincount(
+                    seg * n_buckets + buckets, minlength=n * n_buckets
+                )
+            counts = counts.reshape(n, n_buckets)
             safe = np.maximum(lengths, 1)
             feats = counts / safe[:, None]
             features = [
@@ -219,8 +235,10 @@ def sample_frames(
     ``np.repeat`` + offset arithmetic (no per-frame Python). At scale
     the output inherits the input partitioning — no shuffle; a
     downstream repartition is the caller's choice when frame fan-out
-    is large. NULL payloads are dropped (no container to probe —
-    documented, mirrors ``identify``'s skip of unreadable scenes).
+    is large. NULL payloads are dropped, and so are payloads the probe
+    reports as frameless (``n_frames <= 0`` — the ffprobe sentinel for
+    a corrupt container): both mirror ``identify``'s skip of unreadable
+    scenes rather than failing the whole partition.
     """
     if stride < 1:
         raise ValueError(f"stride must be >= 1, got {stride}")
@@ -235,7 +253,7 @@ def sample_frames(
                 [probe(bytes(v)) for v in keep[payload_col]], dtype=np.int64
             ).reshape(-1, 2)
             n_frames, fps = probes[:, 0], probes[:, 1]
-            counts = (n_frames + stride - 1) // stride
+            counts = (np.maximum(n_frames, 0) + stride - 1) // stride
             total = int(counts.sum())
             rep = np.repeat(np.arange(k), counts)
             offsets = np.concatenate(([0], np.cumsum(counts)[:-1]))
@@ -262,17 +280,22 @@ RESIZE_SCHEMA = (
 )
 
 
-def fake_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:
-    """Deterministic stand-in resize: dims from :func:`fake_decoder`,
-    aspect-preserving integer downscale capped at ``max_side`` (floor
-    division — SQL-reproducible), token output payload."""
-    w, h, _ = fake_decoder(payload)
+def _fit(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving integer downscale capped at ``max_side`` —
+    floor division with a 1-px floor. This IS the SQL-oracle contract
+    (the media_resize oracle reimplements it verbatim), shared by the
+    fake and the real BMP kernel so they cannot drift apart."""
     side = max(w, h)
     if side <= max_side:
-        ow, oh = w, h
-    else:
-        ow = max(1, w * max_side // side)
-        oh = max(1, h * max_side // side)
+        return w, h
+    return max(1, w * max_side // side), max(1, h * max_side // side)
+
+
+def fake_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, bytes]:
+    """Deterministic stand-in resize: dims from :func:`fake_decoder`,
+    :func:`_fit` downscale, token output payload."""
+    w, h, _ = fake_decoder(payload)
+    ow, oh = _fit(w, h, max_side)
     token = f"resized:{ow}x{oh}:{hashlib.md5(payload).hexdigest()}".encode()
     return w, h, ow, oh, token
 
@@ -292,6 +315,10 @@ def bmp_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, byte
     (bpp,) = _struct.unpack_from("<H", payload, 28)
     if bpp != 24:
         raise ValueError(f"bmp_resizer supports 24-bpp only, got {bpp}")
+    if w <= 0 or h_signed == 0:
+        # diagnostic instead of an opaque numpy index/shape error deep
+        # in the Arrow worker
+        raise ValueError(f"invalid BMP dimensions {w}x{h_signed}")
     h = abs(h_signed)
     row = (w * 3 + 3) & ~3
     px = (
@@ -299,12 +326,7 @@ def bmp_resizer(payload: bytes, max_side: int) -> tuple[int, int, int, int, byte
         .reshape(h, row)[:, : w * 3]
         .reshape(h, w, 3)
     )
-    side = max(w, h)
-    if side <= max_side:
-        ow, oh = w, h
-    else:
-        ow = max(1, w * max_side // side)
-        oh = max(1, h * max_side // side)
+    ow, oh = _fit(w, h, max_side)
     yi = np.arange(oh, dtype=np.int64) * h // oh
     xi = np.arange(ow, dtype=np.int64) * w // ow
     out = px[yi][:, xi]

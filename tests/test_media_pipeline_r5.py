@@ -211,3 +211,43 @@ def test_features_feed_similarity(spark):
     # orthogonal c at 0.0 (self excluded)
     assert got[0][0] == "b" and got[0][1] > 0.9
     assert got[1] == ("c", 0.0)
+
+
+def test_features_chunked_equals_unchunked(spark):
+    """The bounded-memory chunk loop (review fix) is a pure refactor:
+    a pathologically tiny chunk that splits every payload mid-byte-run
+    yields the same histograms as one-shot processing."""
+    rng = np.random.RandomState(11)
+    rows = [
+        (str(i), f"r{i}", bytearray(rng.randint(0, 256, size=n, dtype=np.uint8).tobytes()))
+        for i, n in enumerate([0, 1, 7, 64, 257])
+    ]
+    df = _media_df(spark, rows)
+    tiny = {r.doc_id: r.features for r in extract_features(df, chunk_bytes=3).collect()}
+    big = {r.doc_id: r.features for r in extract_features(df).collect()}
+    assert tiny == big
+    with pytest.raises(ValueError):
+        extract_features(df, chunk_bytes=0)
+
+
+def test_sample_frames_corrupt_container_skipped(spark):
+    """A probe reporting n_frames <= 0 (ffprobe's corrupt-container
+    sentinel) drops the doc instead of crashing the partition."""
+    df = _media_df(
+        spark,
+        [("bad", "rb", bytearray(b"corrupt")), ("ok", "ro", bytearray(b"fine"))],
+    )
+    probe = lambda p: (-1, 30) if bytes(p) == b"corrupt" else (2, 30)  # noqa: E731
+    rows = sample_frames(df, stride=1, probe=probe).collect()
+    assert sorted((r.doc_id, r.frame_idx) for r in rows) == [("ok", 0), ("ok", 1)]
+
+
+def test_bmp_resizer_rejects_invalid_dims():
+    zero_w = bytearray(_bmp(4, 4, lambda y, x: (0, 0, 0)))
+    struct.pack_into("<i", zero_w, 18, 0)
+    with pytest.raises(ValueError, match="dimensions"):
+        bmp_resizer(bytes(zero_w), 2)
+    zero_h = bytearray(_bmp(4, 4, lambda y, x: (0, 0, 0)))
+    struct.pack_into("<i", zero_h, 22, 0)
+    with pytest.raises(ValueError, match="dimensions"):
+        bmp_resizer(bytes(zero_h), 2)
