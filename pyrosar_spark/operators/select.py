@@ -246,9 +246,9 @@ def select(
             geo = "corners" if "corners" in df.columns else "ring"
             df = df.withColumn(geo, F.explode(F.array(F.col(geo))))
             if geo == "corners":
-                df = df.where(corners_intersect_aoi(F.col("corners"), ring))
+                df = df.where(corners_intersect_aoi("corners", ring))
             else:
-                df = df.where(flat_ring_intersects_aoi(F.col("ring"), ring))
+                df = df.where(flat_ring_intersects_aoi("ring", ring))
         else:
             df = df.where(_aoi_intersects_udf(ring)(ring_col()))
 

@@ -130,7 +130,7 @@ def spatial_join(
     if refine == "jvm":
         refined = cand.where(
             F.col("ring").isNotNull()
-            & rings_intersect_jvm(F.col("ring"), F.col("a_ring"))
+            & rings_intersect_jvm("ring", "a_ring")
         )
     else:
         refined = cand.where(_pairs_intersect(F.col("ring"), F.col("a_ring")))
@@ -182,6 +182,42 @@ def aoi_frame(spark, aoi_wkts: list[tuple[str, str]]) -> DataFrame:
 
 def _orient_col(ax, ay, bx, by, cx, cy):
     return (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+
+# The unrolled geometry predicates below are rendered as SQL TEXT and
+# handed to Catalyst via one ``F.expr`` call, not composed from Column
+# objects. Composing them Column-by-Column costs a py4j round trip per
+# node — measured 2.9 s of DRIVER time to build the ~520-node corners
+# SAT (vs 88 ms to EXECUTE it over 81k rows), re-paid on every query
+# construction. The SQL string renders in microseconds of Python and
+# parses JVM-side in milliseconds; the resulting expression tree (and
+# thus semantics, null logic, and generated code) is identical. The
+# Column-composed builders above/below are kept as an independent
+# rendering for parity tests.
+
+
+def _fd(v: float) -> str:
+    """Exact Spark-SQL double literal. The ``D`` suffix is load-bearing
+    (a bare ``1.5`` parses as DECIMAL(2,1) and would poison the
+    arithmetic to decimal), and so are the parens: an unparenthesized
+    negative after a minus renders ``x--60.0D``, which SQL lexes as a
+    line comment."""
+    return f"({float(v)!r}D)"
+
+
+def _term(v) -> str:
+    return _fd(v) if isinstance(v, (int, float)) else f"({v})"
+
+
+def _orient_sql(ax, ay, bx, by, cx, cy) -> str:
+    """SQL text of ``_orient_col``; args are floats (folded in Python)
+    or SQL snippets. When both segment ends are constants the two
+    differences fold to literals driver-side."""
+    const_ab = isinstance(ax, (int, float)) and isinstance(bx, (int, float))
+    bax = _fd(bx - ax) if const_ab else f"({_term(bx)}-{_term(ax)})"
+    bay = _fd(by - ay) if const_ab else f"({_term(by)}-{_term(ay)})"
+    return (f"({bax}*({_term(cy)}-{_term(ay)})"
+            f" - {bay}*({_term(cx)}-{_term(ax)}))")
 
 
 def aoi_ring_is_convex(ring: np.ndarray) -> bool:
@@ -303,35 +339,109 @@ def _sat_size_branches(
     return expr
 
 
-def corners_intersect_aoi(corners: Column, aoi_ring: np.ndarray) -> Column:
-    """SAT intersects for the catalog ``corners`` column
+def _sat_convex_intersects_sql(
+    pt_exprs: list[tuple[str, str]], aoi_ring: np.ndarray
+) -> str:
+    """SQL-text rendering of :func:`_sat_convex_intersects` — same
+    axes, same strict/closed comparisons, same null logic (the parsed
+    tree is node-for-node the Column one). ``pt_exprs`` are SQL
+    snippets for the scene points."""
+    ring = np.asarray(aoi_ring, dtype=np.float64).reshape(-1, 2)
+    if geom.ring_area(ring) < 0:
+        ring = ring[::-1]
+    edges = [
+        (float(ring[i][0]), float(ring[i][1]),
+         float(ring[i + 1][0]), float(ring[i + 1][1]))
+        for i in range(len(ring) - 1)
+        if not (ring[i][0] == ring[i + 1][0] and ring[i][1] == ring[i + 1][1])
+    ]
+    verts = sorted({(float(x), float(y)) for x, y in ring[:-1]})
+
+    def all_of(conds):
+        return "(" + " AND ".join(conds) + ")"
+
+    def any_of(conds):
+        return "(" + " OR ".join(conds) + ")"
+
+    sep_aoi = any_of([
+        all_of([
+            f"{_orient_sql(ax, ay, bx, by, px, py)} < 0.0D"
+            for (px, py) in pt_exprs
+        ])
+        for (ax, ay, bx, by) in edges
+    ])
+
+    pair_seps = []
+    n = len(pt_exprs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (px, py), (qx, qy) = pt_exprs[i], pt_exprs[j]
+            others = [pt_exprs[k] for k in range(n) if k != i and k != j]
+            o_sides = [_orient_sql(px, py, qx, qy, zx, zy) for (zx, zy) in others]
+            a_sides = [_orient_sql(px, py, qx, qy, vx, vy) for (vx, vy) in verts]
+            scene_pos = all_of([f"{s} >= 0.0D" for s in o_sides]) if o_sides else "true"
+            scene_neg = all_of([f"{s} <= 0.0D" for s in o_sides]) if o_sides else "true"
+            aoi_neg = all_of([f"{s} < 0.0D" for s in a_sides])
+            aoi_pos = all_of([f"{s} > 0.0D" for s in a_sides])
+            pair_seps.append(
+                f"(({scene_pos} AND {aoi_neg}) OR ({scene_neg} AND {aoi_pos}))"
+            )
+    sep_pairs = any_of(pair_seps) if pair_seps else "false"
+
+    return f"(NOT ({sep_aoi} OR {sep_pairs}))"
+
+
+def _sat_size_branches_sql(
+    n_sql: str,
+    point_at,
+    aoi_ring: np.ndarray,
+    max_pts: int,
+) -> str:
+    """SQL-text rendering of :func:`_sat_size_branches`: a CASE over
+    the point count with one unrolled SAT per branch, NULL (dropped)
+    otherwise. Branch conditions are disjoint, so WHEN order does not
+    matter; this matches the Column version's nested ``when`` chain."""
+    branches = "".join(
+        f" WHEN ({n_sql}) = {k} THEN "
+        + _sat_convex_intersects_sql([point_at(i) for i in range(k)], aoi_ring)
+        for k in range(1, max_pts + 1)
+    )
+    return f"(CASE{branches} ELSE CAST(NULL AS BOOLEAN) END)"
+
+
+def corners_intersect_aoi(corners: str, aoi_ring: np.ndarray) -> Column:
+    """SAT intersects for the catalog ``corners`` column NAME
     (array<struct<lon,lat>>, universally 4 entries) vs a constant
-    convex AOI — unrolled flat codegen arithmetic."""
+    convex AOI — unrolled flat codegen arithmetic, rendered as ONE SQL
+    string (the Column-composed rendering cost ~2.9 s of py4j driver
+    time per query build; see the module note above)."""
+    q = f"`{corners}`"
+
     def at(i: int):
-        p = F.element_at(corners, i + 1)
-        return (p["lon"], p["lat"])
+        return (f"element_at({q}, {i + 1}).lon",
+                f"element_at({q}, {i + 1}).lat")
 
     # canonical catalog corners are EXACTLY 4 points; lower counts kept
     # for robustness, higher ones routed to NULL (dropped) — branch
     # count is also Catalyst ANALYSIS cost, so no speculative headroom
-    return _sat_size_branches(F.size(corners), at, aoi_ring, max_pts=4)
+    return F.expr(_sat_size_branches_sql(f"size({q})", at, aoi_ring, max_pts=4))
 
 
-def flat_ring_intersects_aoi(ring_col: Column, aoi_ring: np.ndarray) -> Column:
-    """SAT intersects for a closed flat-ring column (canonical 3-5
-    points + closure) vs a constant convex AOI — unrolled flat codegen
-    arithmetic over tiny element_at accessors."""
+def flat_ring_intersects_aoi(ring_col: str, aoi_ring: np.ndarray) -> Column:
+    """SAT intersects for a closed flat-ring column NAME (canonical
+    3-5 points + closure) vs a constant convex AOI — one SQL string,
+    tiny element_at accessors."""
+    q = f"`{ring_col}`"
+
     def at(i: int):
-        return (
-            F.element_at(ring_col, i * 2 + 1),
-            F.element_at(ring_col, i * 2 + 2),
-        )
+        return (f"element_at({q}, {i * 2 + 1})",
+                f"element_at({q}, {i * 2 + 2})")
 
     # canonical closed rings: 2-5 points (degenerate point/segment up
     # to quad hull + closure)
-    return _sat_size_branches(
-        (F.size(ring_col) / 2).cast("int"), at, aoi_ring, max_pts=5
-    )
+    return F.expr(_sat_size_branches_sql(
+        f"cast(size({q})/2 as int)", at, aoi_ring, max_pts=5
+    ))
 
 
 def flat_ring_points(flat: Column) -> Column:
@@ -343,28 +453,26 @@ def flat_ring_points(flat: Column) -> Column:
     )
 
 
-def _point_in_flat_ring(px: Column, py: Column, flat: Column) -> Column:
-    """Crossing-number containment of one (column) point vs a closed
-    flat ring column — arbitrary simple polygons, pure JVM. Mirrors
-    ``geom.points_in_ring`` (boundary may report either side; callers
-    pair this with the edge test, like the Arrow kernel does). The
-    guarded division is IEEE-safe: when the first conjunct is false the
-    edge never counts, and double/0 yields ±Inf/NaN, never an error."""
-    n_edges = (F.size(flat) / 2).cast("int") - 1
-    ex = lambda i: F.element_at(flat, i * 2 - 1)  # noqa: E731
-    ey = lambda i: F.element_at(flat, i * 2)  # noqa: E731
-
-    def crossing(i):
-        vx, vy, wx, wy = ex(i), ey(i), ex(i + 1), ey(i + 1)
-        xint = vx + (py - vy) / (wy - vy) * (wx - vx)
-        return ((vy > py) != (wy > py)) & (px < xint)
-
-    return F.size(F.filter(F.sequence(F.lit(1), n_edges), crossing)) % 2 == 1
+def _point_in_flat_ring_sql(px: str, py: str, flat: str) -> str:
+    """Crossing-number containment of one point (SQL snippets) vs a
+    closed flat ring column — arbitrary simple polygons, pure JVM.
+    Mirrors ``geom.points_in_ring`` (boundary may report either side;
+    callers pair this with the edge test, like the Arrow kernel does).
+    The guarded division is IEEE-safe: when the first conjunct is false
+    the edge never counts, and double/0 yields ±Inf/NaN, never an error
+    (ANSI mode only guards integral/decimal division)."""
+    ex = lambda i: f"element_at({flat}, ({i})*2-1)"  # noqa: E731
+    ey = lambda i: f"element_at({flat}, ({i})*2)"  # noqa: E731
+    vx, vy, wx, wy = ex("i"), ey("i"), ex("i+1"), ey("i+1")
+    xint = f"({vx} + (({py}) - {vy}) / ({wy} - {vy}) * ({wx} - {vx}))"
+    crossing = f"((({vy} > ({py})) != ({wy} > ({py}))) AND (({px}) < {xint}))"
+    n_edges = f"(cast(size({flat})/2 as int) - 1)"
+    return (f"((size(filter(sequence(1, {n_edges}), i -> {crossing})) % 2) = 1)")
 
 
-def rings_intersect_jvm(ring_a: Column, ring_b: Column) -> Column:
-    """Exact st_intersects of two closed flat-ring columns as pure JVM
-    column expressions (round 5): edge-pair intersection (proper +
+def rings_intersect_jvm(ring_a: str, ring_b: str) -> Column:
+    """Exact st_intersects of two closed flat-ring column NAMES as pure
+    JVM column expressions (round 5): edge-pair intersection (proper +
     touching/collinear) OR either polygon's first vertex inside the
     other. Same decomposition as ``geom.FlatRings.intersects`` — valid
     for arbitrary simple polygons, touch counts as intersecting.
@@ -372,47 +480,47 @@ def rings_intersect_jvm(ring_a: Column, ring_b: Column) -> Column:
     Replaces the ArrowEvalPython refine in :func:`spatial_join`: a
     Python stage runs a worker process per task thread (~2× the level
     in core demand — the worst in-box scaling term, BENCH/BASELINE.md),
-    while this path stays inside whole-stage codegen and evaluates only
-    on cell-join candidates."""
-    ax = lambda i: F.element_at(ring_a, i * 2 - 1)  # noqa: E731
-    ay = lambda i: F.element_at(ring_a, i * 2)  # noqa: E731
-    bx = lambda j: F.element_at(ring_b, j * 2 - 1)  # noqa: E731
-    by = lambda j: F.element_at(ring_b, j * 2)  # noqa: E731
-    na = (F.size(ring_a) / 2).cast("int") - 1
-    nb = (F.size(ring_b) / 2).cast("int") - 1
+    while this path evaluates JVM-side only on cell-join candidates.
+    Rendered as ONE SQL string — composing it from Column objects cost
+    ~1 s of py4j driver time per query build (module note above)."""
+    a, b = f"`{ring_a}`", f"`{ring_b}`"
+    ax = lambda i: f"element_at({a}, ({i})*2-1)"  # noqa: E731
+    ay = lambda i: f"element_at({a}, ({i})*2)"  # noqa: E731
+    bx = lambda j: f"element_at({b}, ({j})*2-1)"  # noqa: E731
+    by = lambda j: f"element_at({b}, ({j})*2)"  # noqa: E731
+    na = f"(cast(size({a})/2 as int) - 1)"
+    nb = f"(cast(size({b})/2 as int) - 1)"
 
-    def seg_pair(i, j):
-        p1x, p1y, p2x, p2y = ax(i), ay(i), ax(i + 1), ay(i + 1)
-        q1x, q1y, q2x, q2y = bx(j), by(j), bx(j + 1), by(j + 1)
-        d1 = _orient_col(q1x, q1y, q2x, q2y, p1x, p1y)
-        d2 = _orient_col(q1x, q1y, q2x, q2y, p2x, p2y)
-        d3 = _orient_col(p1x, p1y, p2x, p2y, q1x, q1y)
-        d4 = _orient_col(p1x, p1y, p2x, p2y, q2x, q2y)
-        proper = (((d1 > 0) & (d2 < 0)) | ((d1 < 0) & (d2 > 0))) & (
-            ((d3 > 0) & (d4 < 0)) | ((d3 < 0) & (d4 > 0))
-        )
-
-        def on_seg(sx1, sy1, sx2, sy2, px, py):
-            return (
-                (F.least(sx1, sx2) <= px) & (px <= F.greatest(sx1, sx2))
-                & (F.least(sy1, sy2) <= py) & (py <= F.greatest(sy1, sy2))
-            )
-
-        touch = (
-            ((d1 == 0) & on_seg(q1x, q1y, q2x, q2y, p1x, p1y))
-            | ((d2 == 0) & on_seg(q1x, q1y, q2x, q2y, p2x, p2y))
-            | ((d3 == 0) & on_seg(p1x, p1y, p2x, p2y, q1x, q1y))
-            | ((d4 == 0) & on_seg(p1x, p1y, p2x, p2y, q2x, q2y))
-        )
-        return proper | touch
-
-    edges_cross = F.exists(
-        F.sequence(F.lit(1), na),
-        lambda i: F.exists(F.sequence(F.lit(1), nb), lambda j: seg_pair(i, j)),
+    p1x, p1y, p2x, p2y = ax("i"), ay("i"), ax("i+1"), ay("i+1")
+    q1x, q1y, q2x, q2y = bx("j"), by("j"), bx("j+1"), by("j+1")
+    d1 = _orient_sql(q1x, q1y, q2x, q2y, p1x, p1y)
+    d2 = _orient_sql(q1x, q1y, q2x, q2y, p2x, p2y)
+    d3 = _orient_sql(p1x, p1y, p2x, p2y, q1x, q1y)
+    d4 = _orient_sql(p1x, p1y, p2x, p2y, q2x, q2y)
+    proper = (
+        f"((({d1} > 0.0D AND {d2} < 0.0D) OR ({d1} < 0.0D AND {d2} > 0.0D))"
+        f" AND (({d3} > 0.0D AND {d4} < 0.0D) OR ({d3} < 0.0D AND {d4} > 0.0D)))"
     )
-    a_in_b = _point_in_flat_ring(ax(F.lit(1)), ay(F.lit(1)), ring_b)
-    b_in_a = _point_in_flat_ring(bx(F.lit(1)), by(F.lit(1)), ring_a)
-    return edges_cross | a_in_b | b_in_a
+
+    def on_seg(sx1, sy1, sx2, sy2, px, py):
+        return (
+            f"(least({sx1}, {sx2}) <= {px} AND {px} <= greatest({sx1}, {sx2})"
+            f" AND least({sy1}, {sy2}) <= {py} AND {py} <= greatest({sy1}, {sy2}))"
+        )
+
+    touch = (
+        f"(({d1} = 0.0D AND {on_seg(q1x, q1y, q2x, q2y, p1x, p1y)})"
+        f" OR ({d2} = 0.0D AND {on_seg(q1x, q1y, q2x, q2y, p2x, p2y)})"
+        f" OR ({d3} = 0.0D AND {on_seg(p1x, p1y, p2x, p2y, q1x, q1y)})"
+        f" OR ({d4} = 0.0D AND {on_seg(p1x, p1y, p2x, p2y, q2x, q2y)}))"
+    )
+    edges_cross = (
+        f"exists(sequence(1, {na}),"
+        f" i -> exists(sequence(1, {nb}), j -> ({proper} OR {touch})))"
+    )
+    a_in_b = _point_in_flat_ring_sql(ax("1"), ay("1"), b)
+    b_in_a = _point_in_flat_ring_sql(bx("1"), by("1"), a)
+    return F.expr(f"({edges_cross} OR {a_in_b} OR {b_in_a})")
 
 
 # -- kNN scene matching (J10) ------------------------------------------------
