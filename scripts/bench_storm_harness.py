@@ -95,6 +95,10 @@ def run_level(cpus: int, reps: int, gc_extra: str = "") -> dict:
         f.write(LEVEL_SCRIPT.format(repo=REPO, docs=DOCS, n_docs=N_DOCS, reps=reps))
     baseline = os.getloadavg()[0]
     t_start = time.time()
+    # check=False + explicit raise with the stderr tail: a transient
+    # subprocess death (r5d saw one exit-1 that succeeded verbatim on
+    # re-run) must surface WHY, and main() records it as a failed
+    # cycle instead of killing the whole unattended run.
     out = subprocess.run(
         ["spark-submit", "--master", f"local[{cpus}]", "--driver-memory", "24g",
          "--conf", "spark.ui.enabled=false",
@@ -106,8 +110,13 @@ def run_level(cpus: int, reps: int, gc_extra: str = "") -> dict:
          "--conf", "spark.sql.files.maxPartitionBytes=33554432",
          "--conf", f"spark.driver.extraJavaOptions=-XX:+UseParallelGC{gc_extra}",
          path],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True, check=False,
     )
+    if out.returncode != 0:
+        raise RuntimeError(
+            f"level-{cpus} run exited {out.returncode}; stderr tail:\n"
+            + "\n".join(out.stderr.splitlines()[-25:])
+        )
     rec = json.loads([l for l in out.stdout.splitlines() if l.startswith("{")][-1])
     timed = rec["times"][2:]  # 2 warm-ups excluded
     steals = rec.get("steals", [])
@@ -165,10 +174,22 @@ def main() -> None:
     proxy_vals = []
     with open(args.log, "a") as log:
         for cycle in range(args.pairs):
-            settle_until_quiet()
-            l4 = run_level(4, args.reps)
-            settle_until_quiet()
-            l16 = run_level(16, args.reps)
+            try:
+                settle_until_quiet()
+                l4 = run_level(4, args.reps)
+                settle_until_quiet()
+                l16 = run_level(16, args.reps)
+            except RuntimeError as exc:
+                # a dead level run voids the cycle, not the harness —
+                # record the evidence and move on to the next pair
+                log.write(json.dumps({
+                    "cycle": cycle, "t_unix": int(time.time()),
+                    "failed": str(exc)[:2000],
+                }) + "\n")
+                log.flush()
+                print(f"cycle {cycle}: FAILED level run ({str(exc)[:120]}...)",
+                      flush=True)
+                continue
             rec = {
                 "cycle": cycle,
                 "t_unix": int(time.time()),
@@ -208,6 +229,8 @@ def main() -> None:
     with open(args.log) as f:
         for line in f:
             r = json.loads(line)
+            if "eff_4_16" not in r:  # failed-cycle record
+                continue
             all_effs.append(r["eff_4_16"])
             if r.get("pair_quiet"):
                 quiet_effs.append(r["eff_4_16"])
