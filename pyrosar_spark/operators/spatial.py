@@ -23,6 +23,8 @@ top-k with deterministic tie-breaks.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -201,8 +203,13 @@ def _fd(v: float) -> str:
     (a bare ``1.5`` parses as DECIMAL(2,1) and would poison the
     arithmetic to decimal), and so are the parens: an unparenthesized
     negative after a minus renders ``x--60.0D``, which SQL lexes as a
-    line comment."""
-    return f"({float(v)!r}D)"
+    line comment. Non-finite values have no SQL literal (``infD`` is a
+    parse error deep in the JVM) — reject them here with a message that
+    names the real problem."""
+    v = float(v)
+    if not math.isfinite(v):
+        raise ValueError(f"non-finite AOI coordinate {v!r} has no SQL literal")
+    return f"({v!r}D)"
 
 
 def _term(v) -> str:

@@ -117,6 +117,14 @@ def test_flat_ring_sql_matches_column_rendering(spark, aoi):
     _assert_zero_diffs(df, col_form, flat_ring_intersects_aoi("ring", aoi))
 
 
+def test_non_finite_aoi_coordinate_rejected_at_render_time():
+    """``infD``/``nanD`` are JVM parse errors with no useful message;
+    the renderer must refuse non-finite coordinates up front."""
+    bad = np.array([[0.0, 0.0], [1.0, 0.0], [np.inf, 1.0], [0.0, 0.0]])
+    with pytest.raises(ValueError, match="non-finite"):
+        flat_ring_intersects_aoi("ring", bad)
+
+
 def test_sql_text_has_no_comment_or_decimal_traps():
     """The rendered SQL must never contain the two lexing traps the
     renderer exists to avoid: a double literal without the D suffix
