@@ -18,7 +18,8 @@ from __future__ import annotations
 import random
 
 import pytest
-from pyspark.sql import functions as F
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
 
 from pyrosar_spark.operators.dedup import (
     _star_components,
@@ -91,3 +92,43 @@ def test_nonconvergence_raises(spark):
 def test_unknown_algorithm_rejected(spark):
     with pytest.raises(ValueError, match="unknown algorithm"):
         dedup_clusters(_pairs_df(spark, [("a", "b")]), algorithm="bogus")
+
+
+def _union_find_labels(pairs) -> dict:
+    """Independent reference: classic union-find, root = component min."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = sorted((ra, rb))
+            parent[hi] = lo
+    return {v: find(v) for v in parent}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=34),
+            st.integers(min_value=0, max_value=34),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_star_matches_union_find(spark, edges):
+    pairs = [(f"v{a:02d}", f"v{b:02d}") for a, b in edges if a != b]
+    assume(pairs)
+    got = _labels(dedup_clusters(_pairs_df(spark, pairs), algorithm="star"))
+    assert got == _union_find_labels(pairs)
