@@ -1511,6 +1511,61 @@ def q_tfidf_top_terms(spark, sf):
     )
 
 
+def q_dup_ngram_spans(spark, sf):
+    """Substring-level duplicate spans (Lee et al. 2022, n-gram form):
+    maximal token spans whose every 6-gram occurs in ≥2 documents —
+    position explosion → gram-hash multiplicity → join-back →
+    gap-and-islands merge. md5-portable hash so the oracle reproduces
+    the spans literally."""
+    from pyrosar_spark.operators.dedup import dup_ngram_spans
+
+    d = _t(spark, sf, "documents")
+    return dup_ngram_spans(d, n=6, min_docs=2, hash_mode="md5").orderBy(
+        "doc_id", "span_start"
+    )
+
+
+def q_quality_topfrac(spark, sf):
+    """Quality-quantile cull: best 25% of documents per language by
+    the composite quality score (exact rank-window mode, integer
+    rank*100 <= cnt*pct comparison — no float boundary); aggregated
+    per language so the oracle stays small."""
+    from pyrosar_spark.operators.sampling import quality_filter
+
+    d = _t(spark, sf, "documents")
+    kept = quality_filter(d, pct=25, by="lang", mode="exact")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.round(F.sum("score"), 3).alias("score_sum"),
+            F.min("score").alias("score_floor"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_mix_budget_sample(spark, sf):
+    """Data-mixture construction: deterministic hash-ordered sample of
+    four sources up to per-source token budgets (unlisted sources drop
+    out through the broadcast dim join); the first budget-crossing doc
+    is included. Per-kept-doc output pins the exact membership, not
+    just counts."""
+    from pyrosar_spark.operators.sampling import sample_token_budget
+
+    d = _t(spark, sf, "documents")
+    kept = sample_token_budget(
+        d,
+        budgets={"src0": 600, "src1": 300, "src2": 150, "src3": 50},
+        by="source",
+        hash_mode="md5",
+    )
+    return kept.select(
+        "doc_id", "source", "tokens", "cum_tokens"
+    ).orderBy("source", "cum_tokens", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1570,6 +1625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dimap_incidence": q_dimap_incidence,
+        "dup_ngram_spans": q_dup_ngram_spans,
+        "quality_topfrac": q_quality_topfrac,
+        "mix_budget_sample": q_mix_budget_sample,
     }
 
 
@@ -2110,6 +2168,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(_format_oracle_sqls())
     out.update(_stream_and_pipeline_oracle_sqls())
     out.update(_text_r5_oracle_sqls())
+    out.update(_sampling_oracle_sqls(qual))
     # connected components over the SAME pair SQL the near-dup oracle
     # runs: recursive-CTE transitive closure, min reachable id per
     # vertex — the declarative mirror of the engine's iterative
@@ -2748,6 +2807,96 @@ def _ann_oracle_sqls() -> dict[str, str]:
                        row_number() OVER (PARTITION BY q_id ORDER BY cosine_sim DESC, item_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+    }
+
+
+def _sampling_oracle_sqls(qual: str) -> dict[str, str]:
+    """Round-5 corpus-sampling operators: substring-dup spans,
+    quality-quantile cull, token-budget mixture sample. ``qual`` is the
+    shared quality-score SQL body from :func:`oracle_sql`."""
+    return {
+        "dup_ngram_spans": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), g0 AS (
+                SELECT doc_id, tk,
+                       unnest(CASE WHEN len(tk) >= 6
+                                   THEN generate_series(1, len(tk) - 5)
+                                   ELSE CAST([] AS BIGINT[]) END) AS pos
+                FROM t
+            ), g AS (
+                SELECT doc_id, pos,
+                       {_md5num("array_to_string(tk[pos:pos+5], ' ') || '#0'")} AS h
+                FROM g0
+            ), d AS (
+                SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+            ), p AS (
+                SELECT g.doc_id, g.pos FROM g JOIN d USING (h)
+            ), b AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                                 OR pos - lag(pos) OVER w > 6
+                            THEN 1 ELSE 0 END AS brk
+                FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), c AS (
+                SELECT doc_id, pos,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS isl
+                FROM b
+            )
+            SELECT doc_id,
+                   cast(min(pos) as bigint) AS span_start,
+                   cast(max(pos) + 5 as bigint) AS span_end,
+                   cast(count(*) as bigint) AS n_grams
+            FROM c GROUP BY doc_id, isl ORDER BY doc_id, span_start
+        """,
+        "quality_topfrac": f"""
+            WITH s AS (
+                SELECT doc_id, lang,
+                       round(greatest(least(({qual}), 1.0), 0.0), 6) AS score
+                FROM documents
+            ), r AS (
+                SELECT doc_id, lang, score,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY score DESC, doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS cnt
+                FROM s
+            )
+            SELECT lang, cast(count(*) as bigint) AS n_kept,
+                   round(sum(score), 3) AS score_sum,
+                   min(score) AS score_floor,
+                   cast(sum(doc_id) as bigint) AS id_sum
+            FROM r WHERE rn * 100 <= cnt * 25
+            GROUP BY lang ORDER BY lang
+        """,
+        "mix_budget_sample": f"""
+            WITH b(source, budget) AS (
+                VALUES ('src0', 600), ('src1', 300), ('src2', 150), ('src3', 50)
+            ), t AS (
+                SELECT doc_id, source,
+                       cast(len(list_filter(string_split_regex(text, '\\s+'),
+                                            x -> x <> '')) as bigint) AS tokens,
+                       {_md5num("cast(doc_id as varchar) || '#1'")} AS h
+                FROM documents
+            ), j AS (
+                SELECT t.doc_id, t.source, t.tokens, t.h, b.budget
+                FROM t JOIN b USING (source)
+            ), c AS (
+                SELECT doc_id, source, tokens, budget,
+                       cast(sum(tokens) OVER (
+                           PARTITION BY source ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) as bigint) AS cum_tokens
+                FROM j
+            )
+            SELECT doc_id, source, tokens, cum_tokens
+            FROM c WHERE cum_tokens - tokens < budget
+            ORDER BY source, cum_tokens, doc_id
         """,
     }
 

@@ -147,6 +147,7 @@ def main() -> None:
         "asof_purchase_view",
         "tile_assign",
         "near_dup_pairs",
+        "dup_ngram_spans",
         "cosine_topk",
         "scene_spatial_join",
         "scene_knn",

@@ -825,3 +825,102 @@ def _cc_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
         )
         .withColumn("_changed", (F.col("cluster_id") < F.col("_prev")).cast("long"))
     )
+
+
+def dup_ngram_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_docs: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level duplicate detection: token spans whose every
+    n-gram also occurs in ≥ ``min_docs - 1`` OTHER documents — the
+    distributed form of the suffix-array substring dedup of Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better", ACL
+    2022), re-expressed as n-gram evidence because a corpus-wide suffix
+    array is a single-machine construction. Reference analog: the
+    ingest-side duplicate routing at ``pyroSAR/archive.py:563-577``
+    operates on whole products; this operator localizes the duplication
+    *inside* each document.
+
+    Plan shape (scale-first):
+      1. one projection tokenizes (Generate-barriered so the token
+         array is evaluated once) and lifts every n-gram START POSITION
+         with a 64-bit gram hash — rows explode by ~|tokens| but carry
+         only (id, pos, hash);
+      2. gram multiplicity = groupBy(hash) with a two-column distinct
+         pre-aggregation (both partial-aggregatable; a viral gram
+         contributes ONE row per doc, never a list);
+      3. duplicated positions join back on the hash (shuffle join on a
+         uniform key — the dup-hash side is usually small but unbounded,
+         so no forced broadcast);
+      4. positions sorted once per doc merge into maximal spans via the
+         gap-and-islands window (break when the gap exceeds n, i.e. the
+         covered token ranges neither overlap nor touch).
+
+    Output: (id_col, span_start, span_end, n_grams) — token-indexed
+    [start, end] inclusive, 1-based, ordered by (id, span_start).
+    ``hash_mode='md5'`` selects the engine-portable hash
+    (:func:`portable_hash64`) so a SQL oracle reproduces spans exactly.
+    """
+    from pyspark.sql.window import Window as W
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    d = _spread(df).select(F.col(id_col).alias("_id"), F.col(text_col))
+    d = bind(d, "_tk", _norm_tokens(F.col(text_col)))
+    gram = F.array_join(F.slice(F.col("_tk"), F.col("pos"), n), " ")
+    h = (
+        F.xxhash64(gram, F.lit(0))
+        if hash_mode == "xxhash64"
+        else portable_hash64(gram, 0, "md5")
+    )
+    grams = (
+        d.select(
+            "_id",
+            "_tk",
+            F.explode(
+                F.when(
+                    F.size("_tk") >= n,
+                    F.sequence(F.lit(1), F.size("_tk") - (n - 1)),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select("_id", "pos", h.alias("_h"))
+    )
+    dup_hashes = (
+        grams.select("_h", "_id")
+        .distinct()
+        .groupBy("_h")
+        .agg(F.count("*").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("_h")
+    )
+    pos = grams.join(dup_hashes, "_h").select("_id", "pos")
+    w = W.partitionBy("_id").orderBy("pos")
+    brk = (
+        F.when(F.lag("pos").over(w).isNull(), 1)
+        .when(F.col("pos") - F.lag("pos").over(w) > n, 1)
+        .otherwise(0)
+    )
+    islands = pos.select("_id", "pos", brk.alias("_brk")).select(
+        "_id",
+        "pos",
+        F.sum("_brk")
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("_isl"),
+    )
+    return (
+        islands.groupBy("_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (n - 1)).cast("long").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col), "span_start", "span_end", "n_grams"
+        )
+        .orderBy(id_col, "span_start")
+    )
