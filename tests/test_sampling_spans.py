@@ -278,3 +278,20 @@ def test_sample_token_budget_int_budget_and_plan(spark, doctable):
     p = _plan(sample_token_budget(doctable, {"src0": 100}, hash_mode="md5"))
     assert "BroadcastHashJoin" in p, "dict budgets must join as a broadcast dim"
     assert "CartesianProduct" not in p
+
+
+def test_dup_ngram_spans_exchange_budget(spark, doctable):
+    """The scale contract: the gram multiplicity is the standard
+    two-phase distinct count — a map-side partial distinct feeds an
+    exchange on (hash, doc), a second (already-deduped, so much
+    smaller) exchange on hash finishes the count; a viral gram never
+    materializes a list in any aggregation buffer. Plus one hash
+    exchange for the per-doc island window and at most one range
+    exchange for the final ordering: 3 + ≤1. More would mean a
+    distinct/count phase stopped being partial-aggregatable."""
+    q = dup_ngram_spans(doctable, n=6, min_docs=2, hash_mode="xxhash64")
+    p = _plan(q)
+    assert p.count("Exchange hashpartitioning") == 3, p
+    assert p.count("Exchange rangepartitioning") <= 1
+    # and the viral-gram guard: no collect_list/collect_set anywhere
+    assert "collect_list" not in p and "collect_set" not in p
