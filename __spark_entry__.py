@@ -1566,6 +1566,36 @@ def q_mix_budget_sample(spark, sf):
     ).orderBy("source", "cum_tokens", "doc_id")
 
 
+def q_cross_dup_pairs(spark, sf):
+    """Cross-corpus document-level near-dup: the same 5-doc eval set
+    the contamination query leaks (40-token slices of sampled corpus
+    docs), matched back against the full corpus by banded MinHash-LSH
+    with an exact-Jaccard verify — the fuzzy whole-document complement
+    of the exact 13-gram contamination check. Reference bands and
+    shingles ride broadcasts; the corpus never shuffles by itself."""
+    from pyrosar_spark.operators.dedup import (
+        cross_near_dup_pairs,
+        portable_hash64,
+    )
+    from pyrosar_spark.operators.textstats import tokens_ws
+
+    d = _t(spark, sf, "documents")
+    ev = (
+        d.orderBy(
+            portable_hash64(F.col("doc_id").cast("string"), 0, "md5").asc(),
+            F.col("doc_id").asc(),
+        )
+        .limit(5)
+        .select(
+            "doc_id",
+            F.array_join(F.slice(tokens_ws(F.col("text")), 3, 40), " ").alias("text"),
+        )
+    )
+    return cross_near_dup_pairs(
+        d, ev, n_hashes=16, n_bands=8, shingle_k=2, threshold=0.05
+    ).orderBy("doc_id", "ref_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1628,6 +1658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngram_spans": q_dup_ngram_spans,
         "quality_topfrac": q_quality_topfrac,
         "mix_budget_sample": q_mix_budget_sample,
+        "cross_dup_pairs": q_cross_dup_pairs,
     }
 
 
@@ -2897,6 +2928,63 @@ def _sampling_oracle_sqls(qual: str) -> dict[str, str]:
             SELECT doc_id, source, tokens, cum_tokens
             FROM c WHERE cum_tokens - tokens < budget
             ORDER BY source, cum_tokens, doc_id
+        """,
+        "cross_dup_pairs": f"""
+            WITH ev0 AS (
+                SELECT doc_id AS ref_id FROM documents
+                ORDER BY {_md5num("cast(doc_id as varchar) || '#0'")}, doc_id
+                LIMIT 5
+            ), evtxt AS (
+                SELECT e.ref_id,
+                       array_to_string(
+                         list_filter(string_split_regex(d.text, '\\s+'),
+                                     x -> x <> '')[3:42], ' ') AS text
+                FROM ev0 e JOIN documents d ON d.doc_id = e.ref_id
+            ), rt AS (
+                SELECT ref_id, {_TOKS} AS tk FROM evtxt
+            ), rsh AS (
+                SELECT ref_id, {_SHINGLES} AS sh FROM rt
+            ), rhs AS (
+                SELECT ref_id, sh, [{_md5num("g")} FOR g IN sh] AS hs
+                FROM rsh WHERE len(sh) > 0
+            ), rsig AS (
+                SELECT ref_id, sh,
+                       [list_min([xor(h, m) FOR h IN hs])
+                        FOR m IN {_mask_sql_list(16)}] AS sig
+                FROM rhs
+            ), rband AS (
+                SELECT ref_id, b AS band,
+                       cast(sig[2*b+1] as varchar) || '_' || cast(sig[2*b+2] as varchar) AS key
+                FROM rsig, unnest(generate_series(0, 7)) AS t(b)
+            ), ct AS (
+                SELECT doc_id, {_TOKS} AS tk FROM documents
+            ), csh AS (
+                SELECT doc_id, {_SHINGLES} AS sh FROM ct
+            ), chs AS (
+                SELECT doc_id, sh, [{_md5num("g")} FOR g IN sh] AS hs
+                FROM csh WHERE len(sh) > 0
+            ), csig AS (
+                SELECT doc_id, sh,
+                       [list_min([xor(h, m) FOR h IN hs])
+                        FOR m IN {_mask_sql_list(16)}] AS sig
+                FROM chs
+            ), cband AS (
+                SELECT doc_id, b AS band,
+                       cast(sig[2*b+1] as varchar) || '_' || cast(sig[2*b+2] as varchar) AS key
+                FROM csig, unnest(generate_series(0, 7)) AS t(b)
+            ), pairs AS (
+                SELECT DISTINCT c.doc_id, r.ref_id
+                FROM cband c JOIN rband r ON c.band = r.band AND c.key = r.key
+            )
+            SELECT p.doc_id, p.ref_id,
+                   round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
+                         / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+            FROM pairs p
+            JOIN csh sa ON sa.doc_id = p.doc_id
+            JOIN rsh sb ON sb.ref_id = p.ref_id
+            WHERE round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
+                        / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.05
+            ORDER BY p.doc_id, p.ref_id
         """,
     }
 

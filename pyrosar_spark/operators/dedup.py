@@ -924,3 +924,86 @@ def dup_ngram_spans(
         )
         .orderBy(id_col, "span_start")
     )
+
+
+def cross_near_dup_pairs(
+    corpus: DataFrame,
+    refs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    shingle_k: int = 2,
+    threshold: float = 0.0,
+    max_per_ref: int | None = None,
+) -> DataFrame:
+    """Cross-corpus document-level near-dup: training docs whose
+    shingle-set Jaccard against a REFERENCE corpus document (an eval
+    suite, a blocklist, a previously-trained corpus) clears the
+    threshold — the fuzzy, whole-document complement of the exact
+    n-gram :func:`~pyrosar_spark.operators.textstats.contamination`.
+    Reference analog: the cross-archive duplicate check of
+    ``pyroSAR/archive.py:563-577`` routes products already present in
+    ANOTHER table; this is its similarity-valued form for text.
+
+    Scale shape: the reference side is small by construction (eval
+    suites are 10^3-10^5 docs against a 10^12-doc corpus), so its
+    banded LSH keys AND its shingle sets ride broadcasts — the corpus
+    streams map-side through both the candidate join and the verify
+    join and never shuffles by itself; only the candidate pairs (a
+    contamination-sized fraction) move. A corpus-side band explosion
+    is rows × n_bands but only (id, band, key). ``max_per_ref`` guards
+    the one blow-up mode this join has — a reference doc of viral
+    boilerplate banding with half the corpus: refs over the cap are
+    dropped BEFORE the verify join via a partial-aggregatable count
+    (same observable-drop pattern as ``max_bucket`` in
+    :func:`near_dup_pairs`).
+
+    Both id namespaces are reported as given: output
+    (id_col, ref_id, jaccard) with no a<b ordering — cross-corpus ids
+    are not comparable.
+    """
+    release_shingle_cache()
+    sh_c = shingle_frame(corpus, text_col, id_col, n_hashes, shingle_k).persist()
+    sh_c.count()  # materialize before double-reference
+    _LIVE_SHINGLE_CACHE.append(sh_c)
+    sh_r = shingle_frame(refs, text_col, id_col, n_hashes, shingle_k).persist()
+    sh_r.count()
+    _LIVE_SHINGLE_CACHE.append(sh_r)
+    bands_c = _lsh_bands(sh_c, n_hashes, n_bands)
+    bands_r = (
+        _lsh_bands(sh_r, n_hashes, n_bands).withColumnRenamed("_id", "_rid")
+    )
+    cand = (
+        bands_c.join(F.broadcast(bands_r), ["band", "key"])
+        .select(F.col("_id").alias("_a"), F.col("_rid").alias("_b"))
+        .distinct()
+    )
+    if max_per_ref is not None:
+        hot = (
+            cand.groupBy("_b")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_per_ref)
+            .select("_b")
+        )
+        cand = cand.join(F.broadcast(hot), "_b", "left_anti")
+    shc = sh_c.select(F.col("_id").alias("_a"), F.col("_sh").alias("sh_a"))
+    shr = sh_r.select(F.col("_id").alias("_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cand.join(shc, "_a")
+        .join(F.broadcast(shr), "_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("_a").alias(id_col),
+            F.col("_b").alias("ref_id"),
+            "jaccard",
+        )
+    )

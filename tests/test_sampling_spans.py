@@ -295,3 +295,61 @@ def test_dup_ngram_spans_exchange_budget(spark, doctable):
     assert p.count("Exchange rangepartitioning") <= 1
     # and the viral-gram guard: no collect_list/collect_set anywhere
     assert "collect_list" not in p and "collect_set" not in p
+
+
+# ---------------------------------------------------------------------------
+# cross_near_dup_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_cross_near_dup_golden(spark):
+    from pyrosar_spark.operators.dedup import cross_near_dup_pairs
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat while rain fell outside today"),
+            (2, "completely unrelated text about orbital mechanics and fuel"),
+        ],
+        "doc_id long, text string",
+    )
+    refs = spark.createDataFrame(
+        [(100, "the cat sat on the mat while rain fell")],
+        "doc_id long, text string",
+    )
+    got = cross_near_dup_pairs(
+        corpus, refs, n_hashes=16, n_bands=8, threshold=0.3
+    ).collect()
+    assert [(r["doc_id"], r["ref_id"]) for r in got] == [(1, 100)]
+    assert got[0]["jaccard"] > 0.5
+
+
+def test_cross_near_dup_max_per_ref_drops_viral(spark):
+    from pyrosar_spark.operators.dedup import cross_near_dup_pairs
+
+    # one reference matching every corpus doc (viral boilerplate)
+    corpus = spark.createDataFrame(
+        [(i, "copy me verbatim boilerplate line") for i in range(6)],
+        "doc_id long, text string",
+    )
+    refs = spark.createDataFrame(
+        [(100, "copy me verbatim boilerplate line")], "doc_id long, text string"
+    )
+    full = cross_near_dup_pairs(corpus, refs, threshold=0.9).collect()
+    assert len(full) == 6
+    capped = cross_near_dup_pairs(
+        corpus, refs, threshold=0.9, max_per_ref=5
+    ).collect()
+    assert capped == []
+
+
+def test_cross_near_dup_corpus_side_broadcast_only(spark, doctable):
+    """The scale contract: the reference side rides broadcasts in BOTH
+    joins — no sort-merge join anywhere, so the corpus stream is never
+    shuffled for the reference."""
+    from pyrosar_spark.operators.dedup import cross_near_dup_pairs
+
+    refs = doctable.limit(3)
+    q = cross_near_dup_pairs(doctable, refs, threshold=0.1)
+    p = _plan(q)
+    assert "SortMergeJoin" not in p
+    assert p.count("BroadcastHashJoin") >= 2
