@@ -353,3 +353,77 @@ def test_cross_near_dup_corpus_side_broadcast_only(spark, doctable):
     p = _plan(q)
     assert "SortMergeJoin" not in p
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def _ref_cross_pairs(corpus, refs, n_hashes, n_bands, threshold):
+    """From-scratch Python mirror of the banded-MinHash cross join:
+    md5-60 shingle hashes, XOR mask family, row-sliced band keys,
+    exact Jaccard on band-colliding pairs."""
+
+    def _sh(s):
+        toks = [t for t in re.split("[^a-z0-9]+", s.lower()) if t]
+        out, seen = [], set()
+        for i in range(len(toks) - 1):
+            g = " ".join(toks[i : i + 2])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    masks = [
+        int(hashlib.md5(f"mask#{s}".encode()).hexdigest()[:15], 16)
+        for s in range(n_hashes)
+    ]
+    r = n_hashes // n_bands
+
+    def _sig(sh):
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in sh]
+        return [min(h ^ m for h in hs) for m in masks]
+
+    def _bands(sig):
+        return {(b, tuple(sig[b * r : (b + 1) * r])) for b in range(n_bands)}
+
+    cs = {i: set(_sh(t)) for i, t in corpus.items()}
+    rs = {i: set(_sh(t)) for i, t in refs.items()}
+    cb = {i: _bands(_sig(_sh(t))) for i, t in corpus.items() if _sh(t)}
+    rb = {i: _bands(_sig(_sh(t))) for i, t in refs.items() if _sh(t)}
+    out = {}
+    for a, ba in cb.items():
+        for b, bb in rb.items():
+            if ba & bb:
+                j = round(len(cs[a] & rs[b]) / len(cs[a] | rs[b]), 6)
+                if j >= threshold:
+                    out[(a, b)] = j
+    return out
+
+
+_cross_corpus = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=9),
+    values=st.lists(
+        st.sampled_from(["a", "b", "c"]), min_size=0, max_size=10
+    ).map(" ".join),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(corpus=_cross_corpus, refs=_cross_corpus, n_bands=st.sampled_from([4, 8]))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cross_near_dup_matches_reference(spark, corpus, refs, n_bands):
+    from pyrosar_spark.operators.dedup import cross_near_dup_pairs
+
+    got = {
+        (r["doc_id"], r["ref_id"]): r["jaccard"]
+        for r in cross_near_dup_pairs(
+            _spans_df(spark, corpus),
+            _spans_df(spark, refs),
+            n_hashes=16,
+            n_bands=n_bands,
+            threshold=0.1,
+        ).collect()
+    }
+    assert got == _ref_cross_pairs(corpus, refs, 16, n_bands, 0.1)
