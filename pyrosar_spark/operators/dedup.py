@@ -703,7 +703,11 @@ def dedup_clusters(
         # the one action of the round: computes the aggregation, saves
         # the checkpoint blocks (lineage truncation), and returns the
         # changed count — no separate probe join/job
-        changed = staged.agg(F.sum("_changed")).first()[0]
+        # SUM over zero rows is NULL — an empty graph (no pairs at all)
+        # must read as converged, not loop to the non-convergence raise
+        changed = staged.agg(
+            F.coalesce(F.sum("_changed"), F.lit(0))
+        ).first()[0]
         labels = staged.select("v", "cluster_id")
         if changed == 0:
             return labels
@@ -727,6 +731,14 @@ def _star_components(pairs: DataFrame, max_iter: int):
     parents are exactly the component minima, so labels read straight
     off the edges. Returns (labels, rounds_used).
     """
+    # vertices that appear ONLY in self-pairs (a == b) vanish from the
+    # edge list below; they are their own roots and are unioned back in
+    # at the end so both algorithms return every vertex in ``pairs``
+    selfies = (
+        pairs.where(F.col("a") == F.col("b"))
+        .select(F.col("a").alias("v"))
+        .distinct()
+    )
     e = (
         pairs.select(
             F.greatest("a", "b").alias("child"), F.least("a", "b").alias("parent")
@@ -767,7 +779,17 @@ def _star_components(pairs: DataFrame, max_iter: int):
                 .distinct()
                 .withColumn("cluster_id", F.col("v"))
             )
-            return children.unionByName(roots).distinct(), rnd
+            # selfies may also appear in real edges with a smaller
+            # component min; min-per-vertex resolves both (the root of
+            # v's component is always <= v) at the same shuffle cost as
+            # the distinct it replaces
+            labels = (
+                children.unionByName(roots)
+                .unionByName(selfies.withColumn("cluster_id", F.col("v")))
+                .groupBy("v")
+                .agg(F.min("cluster_id").alias("cluster_id"))
+            )
+            return labels, rnd
     raise RuntimeError(
         f"dedup_clusters(star) did not converge in {max_iter} rounds; "
         f"raise max_iter"

@@ -73,6 +73,23 @@ def test_two_node_and_duplicate_pairs(spark):
     assert got == {"x1": "x1", "x2": "x1", "x8": "x8", "x9": "x8"}
 
 
+def test_self_pairs_and_empty_graph(spark):
+    # self-pairs (a == b) vanish from the oriented edge list; isolated
+    # self-pair vertices must still come back as their own roots, and a
+    # self-pair on a vertex with real edges must not shadow the
+    # component min — both algorithms, same answer
+    df = _pairs_df(spark, [("s1", "s1"), ("x2", "x1"), ("x2", "x2")])
+    want = {"s1": "s1", "x1": "x1", "x2": "x1"}
+    assert _labels(dedup_clusters(df, algorithm="star")) == want
+    assert _labels(dedup_clusters(df, algorithm="minlabel")) == want
+
+    # empty graph: SUM over zero rows is NULL in Spark — minlabel must
+    # read it as converged (zero changes), not loop to the raise
+    empty = _pairs_df(spark, [])
+    assert _labels(dedup_clusters(empty, algorithm="minlabel")) == {}
+    assert _labels(dedup_clusters(empty, algorithm="star")) == {}
+
+
 def test_multi_parent_state_is_not_declared_converged(spark):
     # a star graph whose hub is NOT the component min: 5 is connected to
     # 1,2,3 — after phase mixes, children can transiently carry several
