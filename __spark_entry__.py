@@ -1596,6 +1596,50 @@ def q_cross_dup_pairs(spark, sf):
     ).orderBy("doc_id", "ref_id")
 
 
+def q_boilerplate_strip(spark, sf):
+    """C4-style corpus boilerplate removal: 4-token chunks occurring in
+    >= 2 distinct documents are deleted and each surviving document is
+    re-emitted with the remaining chunks re-joined in order (portable
+    md5 chunk hash so the oracle reproduces membership exactly);
+    fully-boilerplate documents drop out, per C4."""
+    from pyrosar_spark.operators.corpus import strip_boilerplate_chunks
+
+    d = _t(spark, sf, "documents")
+    return strip_boilerplate_chunks(
+        d, chunk_tokens=4, min_docs=2, hash_mode="md5"
+    )
+
+
+def q_token_commonness(spark, sf):
+    """Corpus-informed commonness scoring: unigram frequency table
+    (vocab-sized) broadcast back onto the corpus tokens — rare-token
+    fraction + mean token frequency per doc, integer-exact (the log-
+    free stand-in for unigram log-prob quality scores)."""
+    from pyrosar_spark.operators.corpus import token_commonness
+
+    d = _t(spark, sf, "documents")
+    return token_commonness(d, rare_max_count=3)
+
+
+def q_stratified_sample(spark, sf):
+    """Deterministic stratified mixture sample: per-source keep
+    fractions quantized to integer ppm, keep iff
+    pmod(md5hash(id), 1e6) < ppm — a zero-shuffle scan-filter whose
+    membership any SQL engine replays exactly (unlisted sources drop
+    through the broadcast dim join)."""
+    from pyrosar_spark.operators.sampling import sample_stratified
+
+    d = _t(spark, sf, "documents")
+    kept = sample_stratified(
+        d,
+        {"src0": 0.5, "src1": 0.25, "src2": 1.0, "src3": 0.125},
+        by="source",
+        hash_mode="md5",
+        seed=7,
+    )
+    return kept.select("doc_id", "source", "lang").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1659,6 +1703,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_topfrac": q_quality_topfrac,
         "mix_budget_sample": q_mix_budget_sample,
         "cross_dup_pairs": q_cross_dup_pairs,
+        "boilerplate_strip": q_boilerplate_strip,
+        "token_commonness": q_token_commonness,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -2985,6 +3032,63 @@ def _sampling_oracle_sqls(qual: str) -> dict[str, str]:
             WHERE round(cast(len(list_intersect(sa.sh, sb.sh)) as double)
                         / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.05
             ORDER BY p.doc_id, p.ref_id
+        """,
+        "boilerplate_strip": f"""
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '') AS tk
+                FROM documents
+            ), c0 AS (
+                SELECT doc_id, tk,
+                       unnest(CASE WHEN len(tk) > 0
+                              THEN generate_series(1, cast(ceil(len(tk)/4.0) AS BIGINT))
+                              ELSE CAST([] AS BIGINT[]) END) AS ci
+                FROM t
+            ), c AS (
+                SELECT doc_id, cast(ceil(len(tk)/4.0) AS BIGINT) AS n, ci,
+                       array_to_string(tk[(ci-1)*4+1 : ci*4], ' ') AS chunk,
+                       {_md5num("array_to_string(tk[(ci-1)*4+1 : ci*4], ' ') || '#0'")} AS h
+                FROM c0
+            ), boiler AS (
+                SELECT h FROM c GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+            ), kept AS (
+                SELECT * FROM c ANTI JOIN boiler USING (h)
+            )
+            SELECT doc_id,
+                   string_agg(chunk, ' ' ORDER BY ci) AS clean_text,
+                   cast(count(*) AS BIGINT) AS n_kept,
+                   cast(any_value(n) - count(*) AS BIGINT) AS n_dropped
+            FROM kept GROUP BY doc_id ORDER BY doc_id
+        """,
+        "token_commonness": """
+            WITH t AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           string_split_regex(lower(text), '[^a-z0-9]+'),
+                           x -> x <> '')) AS tok
+                FROM documents
+            ), v AS (
+                SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+            ), j AS (
+                SELECT t.doc_id, v.cnt FROM t JOIN v USING (tok)
+            )
+            SELECT doc_id,
+                   cast(count(*) AS BIGINT) AS n_tokens,
+                   cast(sum(CASE WHEN cnt <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_rare,
+                   round(sum(CASE WHEN cnt <= 3 THEN 1 ELSE 0 END)
+                         / count(*), 6) AS rare_frac,
+                   round(sum(cnt) / count(*), 6) AS mean_token_freq
+            FROM j GROUP BY doc_id ORDER BY doc_id
+        """,
+        "stratified_sample": f"""
+            SELECT doc_id, source, lang FROM documents
+            JOIN (VALUES ('src0', 500000), ('src1', 250000),
+                         ('src2', 1000000), ('src3', 125000))
+                 f(source, ppm) USING (source)
+            WHERE {_md5num("cast(doc_id AS VARCHAR) || '#7'")} % 1000000 < ppm
+            ORDER BY doc_id
         """,
     }
 

@@ -151,3 +151,54 @@ def sample_token_budget(
         .where(F.col("cum_tokens") - F.col("tokens") < F.col("_budget"))
         .drop("_budget")
     )
+
+
+def sample_stratified(
+    df: DataFrame,
+    fractions: float | dict[str, float],
+    by: str = "source",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff the 64-bit hash
+    of its id lands under the group's fraction — the mixture-weighting
+    primitive ("keep 10% of web, 100% of code") that, unlike
+    ``DataFrame.sample``, is reproducible across runs, partitionings,
+    AND engines, so an oracle replays it exactly.
+
+    Fractions quantize to integer parts-per-million on the driver
+    (``round(frac * 1e6)``) and the keep test is pure integer math —
+    ``pmod(hash, 1e6) < ppm`` — no float boundary can disagree between
+    engines. ``fractions`` is one float for all groups or a
+    ``{group: fraction}`` dict (missing groups are dropped); dict
+    fractions join as a broadcast dim.
+
+    ZERO shuffles: the whole operator is a scan-filter, and at 10^12
+    documents that is the point — stratified sampling must not cost a
+    corpus pass more than the scan itself. ``hash_mode='md5'`` selects
+    the engine-portable hash. Output: the input columns, filtered.
+    """
+
+    def _ppm(frac: float) -> int:
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {frac}")
+        return int(round(frac * 1_000_000))
+
+    idc = F.col(id_col).cast("string")
+    h = (
+        F.xxhash64(idc, F.lit(seed))
+        if hash_mode == "xxhash64"
+        else portable_hash64(idc, seed, "md5")
+    )
+    d = df.withColumn("_h", F.pmod(h, F.lit(1_000_000)))
+    if isinstance(fractions, dict):
+        fdf = df.sparkSession.createDataFrame(
+            [(k, _ppm(v)) for k, v in fractions.items()],
+            f"{by} string, _ppm long",
+        )
+        d = d.join(F.broadcast(fdf), by)
+    else:
+        d = d.withColumn("_ppm", F.lit(_ppm(fractions)).cast("long"))
+    # the dict join hoists ``by`` to the front — restore input order
+    return d.where(F.col("_h") < F.col("_ppm")).select(*df.columns)
