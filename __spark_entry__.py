@@ -1640,6 +1640,51 @@ def q_stratified_sample(spark, sf):
     return kept.select("doc_id", "source", "lang").orderBy("doc_id")
 
 
+def q_salted_range_join(spark, sf):
+    """The north rule's salted range join EXECUTED at n_salt=4: views
+    within ±1 h of each purchase via hour-slot bucketing (equi-join on
+    the slot, exact interval refine), the interval side replicated
+    across 4 salt sub-keys and each event routed to one by
+    pmod(xxhash64(event_id), 4) so a hot slot spreads over 4 reducers.
+    The oracle is the plain BETWEEN join — salting must be invisible
+    in the result."""
+    from pyrosar_spark.operators.asof import salted_interval_join
+
+    e = _t(spark, sf, "events")
+    views = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_event_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    buys = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_stop"),
+    )
+    j = salted_interval_join(
+        views,
+        buys,
+        "v_ts",
+        "w_start",
+        "w_stop",
+        slot_seconds=3600,
+        ts_fmt=None,
+        n_salt=4,
+        salt_col="v_event_id",
+    )
+    return (
+        j.groupBy("p_event_id")
+        .agg(
+            F.count("*").alias("n_views"),
+            F.sum(
+                F.when(F.col("v_user") == F.col("p_user"), 1).otherwise(0)
+            ).alias("n_same_user"),
+        )
+        .orderBy("p_event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -1706,6 +1751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": q_boilerplate_strip,
         "token_commonness": q_token_commonness,
         "stratified_sample": q_stratified_sample,
+        "salted_range_join": q_salted_range_join,
     }
 
 
@@ -3089,6 +3135,17 @@ def _sampling_oracle_sqls(qual: str) -> dict[str, str]:
                  f(source, ppm) USING (source)
             WHERE {_md5num("cast(doc_id AS VARCHAR) || '#7'")} % 1000000 < ppm
             ORDER BY doc_id
+        """,
+        "salted_range_join": """
+            SELECT p.event_id AS p_event_id,
+                   count(*) AS n_views,
+                   cast(sum(CASE WHEN v.user_id = p.user_id THEN 1 ELSE 0 END)
+                        AS bigint) AS n_same_user
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON v.ts >= p.ts - INTERVAL 1 HOUR
+             AND v.ts <= p.ts + INTERVAL 1 HOUR
+            GROUP BY 1 ORDER BY 1
         """,
     }
 

@@ -176,24 +176,57 @@ def salted_interval_join(
     start_col: str = "start",
     stop_col: str = "stop",
     slot_seconds: int = 86400,
-    ts_fmt: str = "yyyyMMdd'T'HHmmss",
+    ts_fmt: str | None = "yyyyMMdd'T'HHmmss",
+    n_salt: int = 1,
+    salt_col: str | None = None,
 ) -> DataFrame:
-    """Large-large interval join via time-slot bucketing.
+    """Large-large interval join via time-slot bucketing + optional salt.
 
     Both sides get an integer slot key (intervals exploded across every
     slot they overlap), the join becomes an equi-join on the slot —
     shuffle-partitionable and AQE-skew-splittable — and the exact
     interval predicate refines. This is the time-axis analog of the
     cell-grid spatial join, and the "salted range join" the north rule
-    asks for: hot slots (orbit-track bursts) spread across partitions
-    by (slot, hash(event key)) instead of a single reducer.
+    asks for.
+
+    ``n_salt > 1`` adds explicit salting for hot slots (orbit-track
+    bursts concentrate many events in one slot, which AQE can only
+    split AFTER the map stage has skewed): the interval side is
+    replicated across ``n_salt`` sub-keys and each event picks ONE
+    deterministically via ``pmod(xxhash64(salt_col), n_salt)``, so a
+    hot slot's events spread over ``n_salt`` reducers at the cost of
+    ``n_salt``× the (small) interval-slot fan-out. ``salt_col`` must
+    name a roughly-uniform event column (an id); it is required when
+    ``n_salt > 1``. Results are salt-invariant — pinned by test and by
+    the ``salted_range_join`` DuckDB oracle, which runs at ``n_salt=4``.
+
+    ``ts_fmt=None`` means the three columns are already timestamps
+    (slotting truncates to whole seconds, which cannot move a covered
+    point out of its interval's slot range: ``floor`` is monotone and
+    the refine compares full-precision values).
     """
-    ev_slot = (F.unix_timestamp(F.to_timestamp(F.col(ts_col), ts_fmt)) / slot_seconds).cast("long")
-    iv_first = (F.unix_timestamp(F.to_timestamp(F.col(start_col), ts_fmt)) / slot_seconds).cast("long")
-    iv_last = (F.unix_timestamp(F.to_timestamp(F.col(stop_col), ts_fmt)) / slot_seconds).cast("long")
+
+    def _ts(col: str) -> Column:
+        return F.to_timestamp(F.col(col), ts_fmt) if ts_fmt else F.col(col)
+
+    ev_slot = (F.unix_timestamp(_ts(ts_col)) / slot_seconds).cast("long")
+    iv_first = (F.unix_timestamp(_ts(start_col)) / slot_seconds).cast("long")
+    iv_last = (F.unix_timestamp(_ts(stop_col)) / slot_seconds).cast("long")
     e = events.withColumn("_slot", ev_slot)
     i = intervals.withColumn("_slot", F.explode(F.sequence(iv_first, iv_last)))
-    joined = e.join(i, on="_slot", how="inner").where(
+    keys = ["_slot"]
+    if n_salt > 1:
+        if salt_col is None:
+            raise ValueError("n_salt > 1 requires salt_col (a uniform event column)")
+        e = e.withColumn("_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(n_salt)))
+        i = i.withColumn(
+            "_salt",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.lit(n_salt - 1).cast("long"))
+            ),
+        )
+        keys.append("_salt")
+    joined = e.join(i, on=keys, how="inner").where(
         (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(stop_col))
     )
-    return joined.drop("_slot")
+    return joined.drop(*keys)

@@ -136,3 +136,64 @@ def test_ers_pass_fallback(spark):
     assert (out["s_gap"].phase, out["s_gap"].pass_sensor) == ("A", "ERS2")
     assert (out["s_e2"].phase, out["s_e2"].pass_sensor) == ("A", "ERS2")
     assert out["s_none"].phase is None and out["s_none"].pass_sensor is None
+
+
+def test_salted_interval_join_salt_invariance(spark):
+    """n_salt must be invisible in the result: the salted plan routes
+    each event to ONE replica of every interval covering its slot, so
+    pair membership is identical to the unsalted join (and to a plain
+    BETWEEN join — the salted_range_join oracle pins that externally).
+    Also: timestamps pass through with ts_fmt=None, and n_salt > 1
+    without a salt_col is a hard error, not a silent unsalted join."""
+    import datetime as dt
+
+    import pytest
+
+    base = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=17 * i)) for i in range(40)],
+        "eid long, t timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [
+            (j, base + dt.timedelta(hours=j), base + dt.timedelta(hours=j + 2))
+            for j in range(8)
+        ],
+        "iid long, start timestamp, stop timestamp",
+    )
+    kw = dict(slot_seconds=3600, ts_fmt=None)
+    plain = {
+        (r.eid, r.iid)
+        for r in salted_interval_join(events, ivals, "t", **kw).collect()
+    }
+    salted = {
+        (r.eid, r.iid)
+        for r in salted_interval_join(
+            events, ivals, "t", n_salt=4, salt_col="eid", **kw
+        ).collect()
+    }
+    assert plain and salted == plain
+    with pytest.raises(ValueError, match="salt_col"):
+        salted_interval_join(events, ivals, "t", n_salt=4, **kw)
+
+
+def test_salted_interval_join_plan_is_equi_join(spark):
+    """The scale contract: the salted join is an EQUI-join on
+    (slot, salt) — never a BroadcastNestedLoop/Cartesian range join —
+    so it shuffles on a partitionable key and AQE can split stragglers."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=i)) for i in range(10)],
+        "eid long, t timestamp",
+    )
+    ivals = spark.createDataFrame(
+        [(0, base, base + dt.timedelta(hours=1))],
+        "iid long, start timestamp, stop timestamp",
+    )
+    df = salted_interval_join(
+        events, ivals, "t", slot_seconds=3600, ts_fmt=None, n_salt=4, salt_col="eid"
+    )
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
