@@ -73,6 +73,46 @@ def main() -> None:
     rep_load: dict[str, list[float]] = {}
     rep_steal: dict[str, list[float]] = {}
 
+    def _capacity_probe(n_workers: int, seconds: float = 2.5) -> float:
+        """Delivered-compute probe: N spin PROCESSES (numpy integer
+        chains, no GIL, no Spark), aggregate iterations vs one worker.
+
+        Round-5 finding (BENCH/BASELINE.md "capacity"): this guest
+        advertises 32 vCPUs but the hypervisor delivers a fluctuating
+        ~16-17.4 cores of real compute, and the shortfall is INVISIBLE
+        to both loadavg and steal (the probe measured 32 workers at
+        15.5x one worker with steal ~0). Recording the delivered
+        multiple next to the timings makes a degraded-host bench
+        reading self-attributing: capacity_x_at_cpus ~= cpus means the
+        numbers are comparable across rounds; well under means the
+        host, not the code, moved.
+        """
+        import multiprocessing as mp
+
+        import numpy as np
+
+        def spin(out, idx, until):
+            a = np.arange(20_000, dtype=np.int64)
+            it = 0
+            while time.time() < until:
+                a = (a * 1103515245 + 12345) & 0x7FFFFFFF
+                it += 1
+            out[idx] = it
+
+        def run(n: int) -> float:
+            out = mp.Array("l", n)
+            until = time.time() + seconds
+            ps = [mp.Process(target=spin, args=(out, i, until)) for i in range(n)]
+            for p in ps:
+                p.start()
+            for p in ps:
+                p.join()
+            return float(sum(out))
+
+        one = run(1)
+        many = run(n_workers)
+        return round(many / max(one, 1.0), 2)
+
     def _steal_s() -> float:
         """Cumulative host-steal seconds from /proc/stat (field 8).
         The round-5 harness finding: guest loadavg only counts
@@ -86,11 +126,15 @@ def main() -> None:
         except Exception:
             return 0.0
 
-    def timed(name: str, fn) -> None:
+    def timed(name: str, fn, n_reps: int | None = None, converge_tol: float = 0.0) -> None:
+        """Min-of-reps timing. With ``converge_tol`` > 0, reps may stop
+        early (after at least 3) once a rep lands within ``tol`` of the
+        running min — i.e. the measurement has converged — so the extra
+        rep budget is only spent when the host is actually stalling."""
         ts = []
         steals = []
         loads = [round(os.getloadavg()[0], 2)]
-        for _ in range(reps):
+        for i in range(n_reps or reps):
             s0 = _steal_s()
             t0 = time.perf_counter()
             fn()
@@ -98,6 +142,14 @@ def main() -> None:
             ts.append(wall)
             steals.append(round((_steal_s() - s0) / max(wall, 1e-9), 3))
             loads.append(round(os.getloadavg()[0], 2))
+            # converged = this rep AGREES with the best previous rep
+            # (within tol either side). A rep far BELOW the previous
+            # min is still improving (JIT ramp / storm clearing) and a
+            # rep far above is storm-hit — both keep the loop going.
+            if converge_tol and i >= 2:
+                prev_min = min(ts[:-1])
+                if prev_min * (1 - converge_tol) <= wall <= prev_min * (1 + converge_tol):
+                    break
         timings[name] = round(min(ts), 3)
         spreads[name] = round(max(ts) - min(ts), 3)
         rep_times[name] = [round(t, 3) for t in ts]
@@ -135,7 +187,26 @@ def main() -> None:
     # warm-up JVM + Arrow paths on a small slice, excluded from timing
     docs_to_scenes(generate_documents(spark, 2_000, seed=42)).count()
 
-    timed("scene_pipeline", flagship)
+    # one untimed FULL-SIZE flagship pass: under the degraded-host mode
+    # first seen this round (delivered capacity ~16 of 32 vCPUs), C2
+    # JIT compilation of the generated whole-stage-codegen classes takes
+    # several full reps to converge (measured 21.3 -> 7.7 -> 3.55 s on
+    # an otherwise idle box) — a min-of-3 that starts cold can end
+    # before steady state and report the JIT ramp as the operator time
+    warmup_wall = time.perf_counter()
+    flagship()
+    warmup_wall = round(time.perf_counter() - warmup_wall, 3)
+
+    # the flagship is the longest query and therefore integrates every
+    # host-starvation window; it gets a larger rep budget with early
+    # exit on convergence (two quiet reps end it at 3 total — the extra
+    # budget is only spent when the measured reps disagree)
+    timed(
+        "scene_pipeline",
+        flagship,
+        n_reps=max(reps, int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPS", "7"))),
+        converge_tol=0.2,
+    )
     docs_per_sec = round(n_docs / timings["scene_pipeline"], 1)
 
     qs = entry_mod.queries()
@@ -162,6 +233,10 @@ def main() -> None:
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
+    # delivered-compute telemetry, measured while Spark is idle (all
+    # queries done): cpus-worker multiple vs one worker. ~cpus = host
+    # healthy; well under = host-degraded window, timings inflated
+    capacity_x = _capacity_probe(cpus)
     print(
         json.dumps(
             {
@@ -175,6 +250,8 @@ def main() -> None:
                 "query_rep_loadavg1m": rep_load,
                 "query_rep_steal_cps": rep_steal,
                 "reps": reps,
+                "warmup_flagship_sec": warmup_wall,
+                "capacity_x_at_cpus": capacity_x,
                 "sf": sf,
                 "n_docs": n_docs,
                 "throughput_docs_per_sec": docs_per_sec,
