@@ -217,11 +217,13 @@ def q_asof_purchase_view(spark, sf):
         F.col("ts").alias("v_ts"),
     )
     cand = p.join(v, (F.col("p_user") == F.col("v_user")) & (F.col("v_ts") <= F.col("p_ts")))
-    w = W.partitionBy("p_event_id").orderBy(F.col("v_ts").desc(), F.col("v_event_id").desc())
-    return (
-        cand.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("p_event_id", "v_event_id")
+    # r6 (guide §2.3 "aggregate before you shuffle"): the row_number
+    # window shuffled and sorted EVERY candidate (view, purchase) pair;
+    # max_by over the (v_ts, v_event_id) order key partial-aggregates
+    # map-side to one row per purchase before the exchange — same
+    # argmax row ((v_ts, v_event_id) is unique per pair), same columns.
+    return cand.groupBy("p_event_id").agg(
+        F.max_by("v_event_id", F.struct("v_ts", "v_event_id")).alias("v_event_id")
     )
 
 
@@ -345,7 +347,8 @@ def q_cosine_topk(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 3)
-    return cosine_topk(e, q, k=5)
+    # dim=64 (r6): unrolled codegen dot/norm, bit-identical IEEE order
+    return cosine_topk(e, q, k=5, dim=64)
 
 
 def q_embedding_stats(spark, sf):
@@ -495,7 +498,16 @@ def _handoff(df: DataFrame, name: str, sf_dir: str) -> DataFrame:
     if path not in _HANDOFF_WRITTEN or not os.path.exists(
         os.path.join(path, "_SUCCESS")
     ):
-        df.write.mode("overwrite").parquet(path)
+        # write one file per session core (r6): the source tables are
+        # single-file parquet, so an unrepartitioned handoff reads back
+        # as ONE scan task and every pre-shuffle stage of the scene
+        # queries (lattice explode, SAT refine, haversine) runs
+        # single-threaded (guide §6 — input split parallelism). The
+        # shuffle is paid once per process at handoff-write time; rows
+        # and schema are unchanged, so the DuckDB oracle reads
+        # identical data from the same glob.
+        n_out = df.sparkSession.sparkContext.defaultParallelism
+        df.repartition(n_out).write.mode("overwrite").parquet(path)
         _HANDOFF_WRITTEN.add(path)
     return df.sparkSession.read.parquet(path)
 

@@ -154,9 +154,15 @@ def jvm_hull_ring(df: DataFrame, coords_col: str = "_coords") -> DataFrame:
 
 
 def scene_meta_text(spans: Column) -> Column:
-    """Text of the first ``scene_meta`` span (NULL if none)."""
+    """Text of the first ``scene_meta`` span (NULL if none).
+
+    ``try_element_at`` evaluates the span-filter lambda ONCE per row —
+    the previous ``when(size(metas) > 0, element_at(metas, 1))`` guard
+    embedded the interpreted filter HOF twice in the same projection
+    (both evaluated per row; guide §4.1 — HOFs run interpreted), for
+    the identical NULL-on-empty result (r6)."""
     metas = F.filter(spans, lambda s: s.kind == F.lit("scene_meta"))
-    return F.when(F.size(metas) > 0, F.element_at(metas, 1).text)
+    return F.try_element_at(metas, F.lit(1)).text
 
 
 # meta-JSON field types in canonical order (must mirror META_JSON_SCHEMA)

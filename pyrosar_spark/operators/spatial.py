@@ -126,9 +126,31 @@ def spatial_join(
     if broadcast_aoi:
         a = F.broadcast(a)
     cand = s.join(a, on="cell", how="inner")
-    # a bbox pair may share several cells → dedup before the exact test
+    # report-once dedup (r6, guide §2.4): a bbox pair shares several
+    # cells, but exactly ONE of them is the canonical common cell —
+    # the cell of the covers' min common corner, (max(floor(ymin/s),
+    # floor(a_ymin/s)), max(floor(xmin/s), floor(a_xmin/s))) — which
+    # both sides generated whenever any common cell exists (floor is
+    # monotone, so max(floor x, floor y) = floor(max(x, y)) lies inside
+    # both cover ranges). Keeping only that cell's match yields exactly
+    # one candidate row per pair MAP-SIDE, replacing the
+    # dropDuplicates whose SortAggregate sorted every candidate row
+    # (with its fat ring arrays) through a full Exchange.
+    sd = float(cell_deg)
+    n_lon = int(round(360.0 / sd))
+    canon = (
+        F.greatest(
+            F.floor(F.col("ymin") / sd), F.floor(F.col("a_ymin") / sd)
+        ).cast("long")
+        + int(round(90 / sd))
+    ) * n_lon + (
+        F.greatest(
+            F.floor(F.col("xmin") / sd), F.floor(F.col("a_xmin") / sd)
+        ).cast("long")
+        + int(round(180 / sd))
+    )
     keep = scene_keys + ["ring"] + (aoi_keys or ["aoi_id"]) + ["a_ring"]
-    cand = cand.select(*keep).dropDuplicates(scene_keys + (aoi_keys or ["aoi_id"]))
+    cand = cand.where(F.col("cell") == canon).select(*keep)
     if refine == "jvm":
         refined = cand.where(
             F.col("ring").isNotNull()
@@ -580,16 +602,34 @@ def knn_scenes(
     # coverage is densest (VERDICT r2 #6). Clamped duplicates collapse
     # in the dropDuplicates below.
     la_lo, la_hi = -int(round(90 / s)), int(round(90 / s)) - 1
-    offsets = F.array(*[F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
-                        for dy in (-1, 0, 1) for dx in (-1, 0, 1)])
-    probe = (
-        home.withColumn("_o", F.explode(offsets))
-        .withColumn(
-            "_pla",
-            F.greatest(F.least(F.col("_la") + F.col("_o.dy"), F.lit(la_hi)), F.lit(la_lo)),
+    # r6 (guide §2.4): build the 9 neighbor cells as ONE array and
+    # array_distinct it BEFORE the explode. Every neighbor scene lives
+    # in exactly one home cell, so with distinct probe cells each
+    # (q_id, n_id) pair can meet in at most one cell — the pair-level
+    # dropDuplicates (a full Exchange + two aggregates over the
+    # candidate table, the join's largest intermediate) is removed
+    # outright. Clamped polar duplicates collapse map-side in the
+    # 9-element array instead.
+    cells9 = F.array_distinct(
+        F.array(
+            *[
+                (
+                    F.greatest(
+                        F.least(F.col("_la") + dy, F.lit(la_hi)), F.lit(la_lo)
+                    )
+                    + int(round(90 / s))
+                )
+                * n_lon
+                + F.pmod(
+                    F.col("_lo") + dx + int(round(180 / s)), F.lit(n_lon)
+                )
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+            ]
         )
-        .withColumn("_cell", ((F.col("_pla") + int(round(90 / s))) * n_lon
-                              + F.pmod(F.col("_lo") + F.col("_o.dx") + int(round(180 / s)), F.lit(n_lon))))
+    )
+    probe = (
+        home.withColumn("_cell", F.explode(cells9))
         .select(F.col(id_col).alias("q_id"), F.col("cx").alias("q_cx"),
                 F.col("cy").alias("q_cy"), "_cell")
     )
@@ -601,7 +641,6 @@ def knn_scenes(
     cand = (
         probe.join(index, on="_cell")
         .where(F.col("q_id") != F.col("n_id"))
-        .dropDuplicates(["q_id", "n_id"])
         .withColumn("dist_km", haversine_km(F.col("q_cy"), F.col("q_cx"),
                                             F.col("n_cy"), F.col("n_cx")))
     )
