@@ -32,7 +32,10 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    except ValueError:
+        sf = 0.1
 
     from pyrosar_spark.session import get_spark
 
