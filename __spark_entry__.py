@@ -217,13 +217,16 @@ def q_asof_purchase_view(spark, sf):
         F.col("ts").alias("v_ts"),
     )
     cand = p.join(v, (F.col("p_user") == F.col("v_user")) & (F.col("v_ts") <= F.col("p_ts")))
-    # r6 (guide §2.3 "aggregate before you shuffle"): the row_number
-    # window shuffled and sorted EVERY candidate (view, purchase) pair;
-    # max_by over the (v_ts, v_event_id) order key partial-aggregates
-    # map-side to one row per purchase before the exchange — same
-    # argmax row ((v_ts, v_event_id) is unique per pair), same columns.
-    return cand.groupBy("p_event_id").agg(
-        F.max_by("v_event_id", F.struct("v_ts", "v_event_id")).alias("v_event_id")
+    # r6 negative result: replacing this window with a max_by
+    # aggregation measured ~25% SLOWER on the 10×-scale bed — Spark 4's
+    # WindowGroupLimit already prunes to the per-partition top row
+    # BEFORE the exchange, while max_by pays object-aggregation state.
+    # The window form stays.
+    w = W.partitionBy("p_event_id").orderBy(F.col("v_ts").desc(), F.col("v_event_id").desc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("p_event_id", "v_event_id")
     )
 
 
@@ -347,8 +350,7 @@ def q_cosine_topk(spark, sf):
 
     e = _t(spark, sf, "embeddings")
     q = e.where(F.col("vec_id") < 3)
-    # dim=64 (r6): unrolled codegen dot/norm, bit-identical IEEE order
-    return cosine_topk(e, q, k=5, dim=64)
+    return cosine_topk(e, q, k=5)
 
 
 def q_embedding_stats(spark, sf):

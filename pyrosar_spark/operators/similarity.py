@@ -69,25 +69,6 @@ def suggest_n_bits(n_items: int, candidate_budget: int = 200) -> int:
     return max(1, min(32, ratio.bit_length() - 1 or 1))
 
 
-def _dot_sql_unrolled(a: str, b: str, dim: int) -> str:
-    """SQL text of :func:`dot` unrolled to ``dim`` element_at terms —
-    left-associated from the same 0.0 seed, so the IEEE summation order
-    (and hence every bit of the result) matches the ``aggregate`` HOF
-    form it replaces. Whole-stage codegen instead of interpreted
-    per-element lambda evaluation (guide §4.1; the r5 SAT lesson)."""
-    out = "0.0D"
-    for i in range(1, dim + 1):
-        out = f"({out} + (element_at({a}, {i}) * element_at({b}, {i})))"
-    return out
-
-
-def _norm_sql_unrolled(a: str, dim: int) -> str:
-    out = "0.0D"
-    for i in range(1, dim + 1):
-        out = f"({out} + (element_at({a}, {i}) * element_at({a}, {i})))"
-    return f"sqrt({out})"
-
-
 def cosine_topk(
     items: DataFrame,
     queries: DataFrame,
@@ -97,44 +78,35 @@ def cosine_topk(
     q_id_col: str = "vec_id",
     q_vec_col: str = "embedding",
     exclude_self: bool = True,
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (brute force).
 
     The query side is broadcast (queries ≪ items); the cross product
     never shuffles the item side. Deterministic tie-break on item id.
 
-    ``dim`` (r6): when the embedding length is known and uniform, the
-    dot/norm run as ``dim`` unrolled codegen terms instead of the
-    interpreted ``aggregate``/``zip_with`` lambdas (bit-identical IEEE
-    order — same left-assoc sum from the same 0.0 seed), and each
-    side's norm is computed once per ROW instead of once per pair.
-    Vectors must have exactly ``dim`` elements (mismatch errors under
-    ANSI rather than silently truncating); ``None`` keeps the generic
-    HOF path.
+    r6 negative result (kept as documentation): unrolling the dot/norm
+    into 64 chained ``element_at`` adds REGRESSED 4× on the 10×-scale
+    bed — the deep linear Add chain falls out of whole-stage codegen
+    into interpreted eval, which is slower per pair than the
+    ``aggregate``/``zip_with`` lambdas it replaced. The HOF form
+    stays.
     """
-    q = queries.select(
-        F.col(q_id_col).alias("q_id"), _as_double(F.col(q_vec_col)).alias("q_vec")
+    q = F.broadcast(
+        queries.select(
+            F.col(q_id_col).alias("q_id"), _as_double(F.col(q_vec_col)).alias("q_vec")
+        )
     )
     it = items.select(
         F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("item_vec")
     )
-    if dim is not None:
-        q = q.withColumn("_qn", F.expr(_norm_sql_unrolled("`q_vec`", dim)))
-        it = it.withColumn("_in", F.expr(_norm_sql_unrolled("`item_vec`", dim)))
-    q = F.broadcast(q)
     pairs = it.crossJoin(q)
     if exclude_self:
         pairs = pairs.where(F.col("item_id") != F.col("q_id"))
-    if dim is not None:
-        sim = F.round(
-            F.expr(_dot_sql_unrolled("`item_vec`", "`q_vec`", dim))
-            / (F.col("_in") * F.col("_qn")),
-            6,
-        )
-    else:
-        sim = F.round(cosine(F.col("item_vec"), F.col("q_vec")), 6)
-    scored = pairs.select("q_id", "item_id", sim.alias("cosine_sim"))
+    scored = pairs.select(
+        "q_id",
+        "item_id",
+        F.round(cosine(F.col("item_vec"), F.col("q_vec")), 6).alias("cosine_sim"),
+    )
     w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("item_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
