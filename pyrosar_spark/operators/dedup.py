@@ -307,13 +307,23 @@ def _candidate_pairs(bands: DataFrame, max_bucket: int) -> DataFrame:
     # map-side partial (bytes per key), the over-cap key set is tiny and
     # broadcast anti-joined, then collect_list only ever sees bounded
     # buckets (ADVICE r1: cap aggregation memory, not just the join).
-    hot = (
-        bands.groupBy("band", "key")
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > max_bucket)
-        .select("band", "key")
-    )
-    clean = bands.join(F.broadcast(hot), on=["band", "key"], how="left_anti")
+    # r6: when the cap is effectively unbounded (callers pass 1<<40 to
+    # get uncapped semantics), no bucket can ever exceed it — a bucket
+    # holds at most one row per document and 2^39 documents would
+    # overflow the cap check itself long before this path matters — so
+    # the guard's extra aggregation pass + broadcast anti-join are dead
+    # plan weight and are skipped. Semantics are identical; any real
+    # production cap (≤ 2^39) keeps the full guard.
+    if max_bucket >= (1 << 39):
+        clean = bands
+    else:
+        hot = (
+            bands.groupBy("band", "key")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") > max_bucket)
+            .select("band", "key")
+        )
+        clean = bands.join(F.broadcast(hot), on=["band", "key"], how="left_anti")
     buckets = (
         clean.groupBy("band", "key")
         .agg(F.collect_list("_id").alias("ids"))
