@@ -1363,23 +1363,44 @@ def _run_stream_to_memory(df_stream, name_prefix: str, min_batches: int | None =
     executed at least that many micro-batches — the proof that the
     oracle-matched output came from state MERGED ACROSS micro-batches,
     not a single-batch pass that never exercises the merge path."""
+    import os
     import tempfile
     import uuid
 
-    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (
-        df_stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{name}_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
+    # r6: stateful streaming pins one state-store instance per shuffle
+    # partition per micro-batch — at the session's batch width (2×
+    # cores) a 4-trigger drain pays 4×64 state checkpoint tasks of
+    # near-empty state. Size the STREAM's shuffle width to the
+    # delivered cores instead (env-overridable for real clusters:
+    # $SPARK_GRAFT_STREAM_SHUFFLE); the conf is restored after the
+    # drain so batch queries keep the session default. The state
+    # partition count is captured in the fresh checkpoint at first
+    # batch, so per-query scoping is safe.
+    spark = df_stream.sparkSession
+    stream_parts = os.environ.get(
+        "SPARK_GRAFT_STREAM_SHUFFLE",
+        str(spark.sparkContext.defaultParallelism),
     )
-    # a timed-out drain must FAIL, not silently hand back a partial
-    # complete-mode table (round-4 review)
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(f"streaming drain {name} did not finish in 600s")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    spark.conf.set("spark.sql.shuffle.partitions", stream_parts)
+    try:
+        q = (
+            df_stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"{name}_ckpt_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # a timed-out drain must FAIL, not silently hand back a partial
+        # complete-mode table (round-4 review)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(f"streaming drain {name} did not finish in 600s")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if min_batches is not None:
         n = len(_stream_batch_ids(q))
         if n < min_batches:

@@ -45,25 +45,23 @@ def vw_simplify(points: np.ndarray, n_keep: int) -> np.ndarray:
         return pts
     alive = np.ones(len(pts), dtype=bool)
 
-    def tri_area(i_prev, i, i_next):
-        a, b, c = pts[i_prev], pts[i], pts[i_next]
-        return abs(
-            (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
-        ) / 2.0
-
+    # r6: the per-iteration area scan is one vectorized triple-slice
+    # instead of a Python list comprehension of scalar-numpy triangle
+    # areas (was ~700 interpreter round-trips per 32-row chip, the
+    # operator's hot spot). Same areas in the same order — np.argmin's
+    # first-minimum tie rule, and therefore the kept point set, are
+    # unchanged (pinned by the goldens in tests/test_bordernoise.py).
     idx = np.arange(len(pts))
     while alive.sum() > n_keep:
         live = idx[alive]
-        interior = live[1:-1]
-        if len(interior) == 0:
+        if len(live) <= 2:
             break
-        areas = np.array(
-            [
-                tri_area(live[k - 1], live[k], live[k + 1])
-                for k in range(1, len(live) - 1)
-            ]
-        )
-        alive[interior[int(np.argmin(areas))]] = False
+        a, b, c = pts[live[:-2]], pts[live[1:-1]], pts[live[2:]]
+        areas = np.abs(
+            (b[:, 0] - a[:, 0]) * (c[:, 1] - a[:, 1])
+            - (b[:, 1] - a[:, 1]) * (c[:, 0] - a[:, 0])
+        ) / 2.0
+        alive[live[1 + int(np.argmin(areas))]] = False
     return pts[alive]
 
 
@@ -183,6 +181,13 @@ def remove_border_noise(
                 )
             yield pd.DataFrame(out)
 
-    return chips.select("media_ref", "width", "height", "seed").mapInPandas(
+    # r6: spread the NARROW (ref, w, h, seed) rows to session
+    # parallelism before the Arrow stage — a single-file chip table
+    # otherwise pins the whole numpy pipeline on one task (the payload
+    # is generated from the seed inside the kernel, so unlike the media
+    # operators there are no raw bytes to shuffle; ~30 B/row moves).
+    from pyrosar_spark.operators.dedup import _spread
+
+    return _spread(chips.select("media_ref", "width", "height", "seed")).mapInPandas(
         run, OUT_SCHEMA
     )

@@ -107,7 +107,12 @@ def strip_boilerplate_chunks(
         if hash_mode == "xxhash64"
         else portable_hash64(F.col("_chunk"), 0, "md5")
     )
-    pos = pos.withColumn("_h", h)
+    # r6: ``pos`` feeds BOTH the multiplicity aggregation and the anti
+    # join — without materialization the tokenize+chunk+hash subtree
+    # (the operator's dominant cost) runs twice, plus a second _spread
+    # Exchange. localCheckpoint computes it once per invocation (same
+    # fix as dup_ngram_spans); nothing survives the query.
+    pos = pos.withColumn("_h", h).localCheckpoint()
     boiler = (
         pos.select("_h", "_id")
         .distinct()
@@ -169,8 +174,13 @@ def token_commonness(
     if rare_max_count < 1:
         raise ValueError(f"rare_max_count must be >= 1, got {rare_max_count}")
     d = _spread(df).select(F.col(id_col).alias("_id"), F.col(text_col))
-    toks = bind(d, "_tk", _norm_tokens(F.col(text_col))).select(
-        "_id", F.explode("_tk").alias("_t")
+    # r6: ``toks`` feeds both the vocabulary aggregation and the score
+    # join — localCheckpoint pins the tokenize+explode to one
+    # evaluation (same double-compute fix as dup_ngram_spans).
+    toks = (
+        bind(d, "_tk", _norm_tokens(F.col(text_col)))
+        .select("_id", F.explode("_tk").alias("_t"))
+        .localCheckpoint()
     )
     vocab = toks.groupBy("_t").agg(F.count("*").alias("_cnt"))
     if broadcast_vocab:

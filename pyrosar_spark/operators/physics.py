@@ -149,6 +149,11 @@ def erode_chip_masks(chips: DataFrame, iterations: int = 3) -> DataFrame:
                 {"media_ref": refs, "n_valid_before": before, "n_valid_after": after}
             )
 
-    return chips.select("media_ref", "width", "height", "seed").mapInPandas(
+    # r6: same narrow-row spread as remove_border_noise — the payload is
+    # seed-derived inside the kernel, so only ~30 B/row shuffles and a
+    # single-file chip table no longer pins the erosion on one task.
+    from pyrosar_spark.operators.dedup import _spread
+
+    return _spread(chips.select("media_ref", "width", "height", "seed")).mapInPandas(
         run, ERODE_SCHEMA
     )

@@ -30,15 +30,16 @@ def summarize(path: str) -> None:
         if "failed" in c:
             print(f"  cycle {c['cycle']}: FAILED ({c['failed'][:80]}...)")
             continue
-        if "proxy_2_8" in c and "l4" not in c:
-            print(f"  cycle {c['cycle']}: 2->8 proxy only = {c['proxy_2_8']}")
+        if "eff_2_8" in c and "l4" not in c:
+            print(f"  cycle {c['cycle']}: 2->8 proxy only = {c['eff_2_8']}"
+                  f" (quiet={c.get('proxy_quiet')})")
             continue
         l4, l16 = c["l4"], c["l16"]
         eff = c["eff_4_16"]
         quiet = c.get("pair_quiet")
         extra = ""
-        if "proxy_2_8" in c:
-            extra = f" proxy_2_8={c['proxy_2_8']}"
+        if "eff_2_8" in c:
+            extra = f" eff_2_8={c['eff_2_8']} proxy_quiet={c.get('proxy_quiet')}"
         print(
             f"  cycle {c['cycle']}: eff={eff} quiet={quiet} "
             f"l4={l4['best']}s(base {l4['baseline_load']}, steal "
