@@ -660,10 +660,27 @@ def simhash_pairs(
     right = blocks.select(
         F.col("_id").alias("b"), F.col("_sh").alias("sh_b"), "blk", "val"
     )
+    # report-once dedup (r6, guide §2.4): a pair sharing several blocks
+    # matched once per shared block; both hashes ride the joined row,
+    # so the FIRST shared block index is computable in place — keeping
+    # only that block's match yields exactly one row per pair MAP-SIDE
+    # and removes the pair-level dropDuplicates (a full Exchange + two
+    # aggregates over the candidate table). The join guarantees at
+    # least one shared block, so the when-chain always resolves.
+    mask = (1 << width) - 1
+
+    def block_of(col: Column, i: int) -> Column:
+        return F.shiftright(col, i * width).bitwiseAND(F.lit(mask))
+
+    first_shared = F.lit(None).cast("int")
+    for i in range(n_blocks - 1, -1, -1):
+        first_shared = F.when(
+            block_of(F.col("sh_a"), i) == block_of(F.col("sh_b"), i), F.lit(i)
+        ).otherwise(first_shared)
     return (
         left.join(right, on=["blk", "val"])
         .where(F.col("a") < F.col("b"))
-        .dropDuplicates(["a", "b"])
+        .where(F.col("blk") == first_shared)
         .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")

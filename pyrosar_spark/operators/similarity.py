@@ -192,13 +192,14 @@ def lsh_topk(
     """
     planes3 = _planes3(n_bits, n_tables, dim, seed)
 
-    def bucketed(df: DataFrame, vec: str) -> DataFrame:
+    def bucketed(df: DataFrame, vec: str, bkts_out: str) -> DataFrame:
         out = with_const(df, "_planes", planes3, _PLANES3_T)
         return out.withColumn(
-            "_bkts",
+            bkts_out,
             F.transform(F.col("_planes"), lambda tp: lsh_bucket_col(F.col(vec), tp)),
         ).select(
-            *df.columns, F.posexplode(F.col("_bkts")).alias("_table", "_bucket")
+            *df.columns, bkts_out,
+            F.posexplode(F.col(bkts_out)).alias("_table", "_bucket"),
         )
 
     it_b = bucketed(
@@ -206,20 +207,38 @@ def lsh_topk(
             F.col(id_col).alias("item_id"), _as_double(F.col(vec_col)).alias("item_vec")
         ),
         "item_vec",
+        "_ib",
     )
-    q_b = F.broadcast(
-        bucketed(
-            queries.select(
-                F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
-            ),
-            "q_vec",
+    q_b = bucketed(
+        queries.select(
+            F.col(id_col).alias("q_id"), _as_double(F.col(vec_col)).alias("q_vec")
+        ),
+        "q_vec",
+        "_qb",
+    ).withColumnRenamed("_qb", "_qb_all")
+    # report-once dedup (r6, guide §2.4): a (query, item) pair colliding
+    # in several tables matched once per table; both sides' full bucket
+    # arrays ride the joined row, so the FIRST colliding table index is
+    # computable in place — keeping only that table's match yields one
+    # candidate row per pair map-side, replacing the pair-level
+    # dropDuplicates (a full Exchange + two aggregates). There is no
+    # hot-bucket filter on this path, so "first colliding table" is
+    # always a surviving row. (cosine_dup_pairs keeps its
+    # dropDuplicates: its max_bucket anti-join can remove exactly the
+    # first-colliding row while the pair legitimately survives via a
+    # later table.)
+    q_b_exploded = F.broadcast(q_b)
+    first_shared = (
+        F.array_position(
+            F.zip_with("_ib", "_qb_all", lambda a, b: a == b), F.lit(True)
         )
+        - 1
     )
     cands = (
-        it_b.join(q_b, on=["_table", "_bucket"])
-        .drop("_table", "_bucket")
+        it_b.join(q_b_exploded, on=["_table", "_bucket"])
         .where(F.col("item_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "item_id"])
+        .where(F.col("_table") == first_shared)
+        .drop("_table", "_bucket", "_ib", "_qb_all")
     )
     scored = cands.select(
         "q_id",
@@ -420,11 +439,16 @@ def ivf_topk(
         .select("q_id", "q_vec", F.explode(F.col("_cells").cell).alias("_cell"))
     )
     cands = it.join(q, on="_cell").where(F.col("item_id") != F.col("q_id"))
+    # r6: no pair dedup needed — every item lives in exactly ONE cell
+    # and a query probes n_probe DISTINCT cells (one sorted entry per
+    # centroid), so a (query, item) pair can meet at most once; the
+    # former dropDuplicates was a provable no-op costing a full
+    # Exchange + two aggregates over the candidate table.
     scored = cands.select(
         "q_id",
         "item_id",
         F.round(cosine(F.col("item_vec"), F.col("q_vec")), 6).alias("cosine_sim"),
-    ).dropDuplicates(["q_id", "item_id"])
+    )
     w = W.partitionBy("q_id").orderBy(F.col("cosine_sim").desc(), F.col("item_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
