@@ -223,8 +223,8 @@ def select(
         )
         from pyrosar_spark.operators.spatial import (
             aoi_ring_is_convex,
-            corners_intersect_aoi,
-            flat_ring_intersects_aoi,
+            corners_intersect_aoi_filters,
+            flat_ring_intersects_aoi_filters,
         )
 
         if aoi_refine not in ("auto", "arrow"):
@@ -243,12 +243,21 @@ def select(
             # the parse evaluates once, the SAT references the
             # generator output attribute. One row in, one row out;
             # a NULL geometry survives as a one-element [NULL] array.
+            # r6: the SAT is applied as a CONJUNCT LIST (one where per
+            # separating axis for the big k branches) instead of one
+            # monolithic CASE — the single expression failed Janino
+            # compilation and ran interpreted since round 5 (spatial.py
+            # ``_sat_conjunct_sqls`` docstring; measured 7.3 → 3.6 s on
+            # the 2M-doc refine). Identical row set, fuzz-differential
+            # and oracle checked.
             geo = "corners" if "corners" in df.columns else "ring"
             df = df.withColumn(geo, F.explode(F.array(F.col(geo))))
             if geo == "corners":
-                df = df.where(corners_intersect_aoi("corners", ring))
+                sat_filters = corners_intersect_aoi_filters("corners", ring)
             else:
-                df = df.where(flat_ring_intersects_aoi("ring", ring))
+                sat_filters = flat_ring_intersects_aoi_filters("ring", ring)
+            for cond in sat_filters:
+                df = df.where(cond)
         else:
             df = df.where(_aoi_intersects_udf(ring)(ring_col()))
 

@@ -438,6 +438,124 @@ def _sat_size_branches_sql(
     return f"(CASE{branches} ELSE CAST(NULL AS BOOLEAN) END)"
 
 
+def _sat_conjunct_sqls(
+    pt_exprs: list[tuple[str, str]], aoi_ring: np.ndarray
+) -> list[str]:
+    """The SAT of :func:`_sat_convex_intersects_sql` decomposed into
+    NOT-separated CONJUNCTS — one per AOI edge axis and one per scene
+    point-pair axis. ANDing all of them is boolean-identical to
+    ``NOT (sep_aoi OR sep_pairs)`` (De Morgan over the axis
+    disjunction), with the same strict/closed comparisons and the same
+    NULL propagation (any NULL conjunct ⇒ the row is dropped either
+    way). The split exists for the CODEGEN, not the algebra: the
+    single ~2.5k-node k=4/k=5 CASE expression fails Janino compilation
+    (measured: 'Failed to compile the generated Java code' on every
+    SAT stage since round 5) and silently falls back to interpreted
+    eval; medium-sized conjuncts compile, and the same 2M-doc refine
+    measured 7.3 s interpreted vs 3.6 s compiled (r6)."""
+    ring = np.asarray(aoi_ring, dtype=np.float64).reshape(-1, 2)
+    if geom.ring_area(ring) < 0:
+        ring = ring[::-1]
+    edges = [
+        (float(ring[i][0]), float(ring[i][1]),
+         float(ring[i + 1][0]), float(ring[i + 1][1]))
+        for i in range(len(ring) - 1)
+        if not (ring[i][0] == ring[i + 1][0] and ring[i][1] == ring[i + 1][1])
+    ]
+    verts = sorted({(float(x), float(y)) for x, y in ring[:-1]})
+
+    def all_of(conds):
+        return "(" + " AND ".join(conds) + ")"
+
+    out = []
+    for (ax, ay, bx, by) in edges:
+        out.append(
+            "(NOT "
+            + all_of([
+                f"{_orient_sql(ax, ay, bx, by, px, py)} < 0.0D"
+                for (px, py) in pt_exprs
+            ])
+            + ")"
+        )
+    n = len(pt_exprs)
+    for i in range(n):
+        for j in range(i + 1, n):
+            (px, py), (qx, qy) = pt_exprs[i], pt_exprs[j]
+            others = [pt_exprs[k] for k in range(n) if k != i and k != j]
+            o_sides = [_orient_sql(px, py, qx, qy, zx, zy) for (zx, zy) in others]
+            a_sides = [_orient_sql(px, py, qx, qy, vx, vy) for (vx, vy) in verts]
+            scene_pos = all_of([f"{s} >= 0.0D" for s in o_sides]) if o_sides else "true"
+            scene_neg = all_of([f"{s} <= 0.0D" for s in o_sides]) if o_sides else "true"
+            aoi_neg = all_of([f"{s} < 0.0D" for s in a_sides])
+            aoi_pos = all_of([f"{s} > 0.0D" for s in a_sides])
+            out.append(
+                f"(NOT (({scene_pos} AND {aoi_neg}) OR ({scene_neg} AND {aoi_pos})))"
+            )
+    return out
+
+
+def _sat_filter_columns(
+    n_sql: str,
+    point_at,
+    aoi_ring: np.ndarray,
+    max_pts: int,
+    split_from: int = 4,
+) -> list[Column]:
+    """Conjunct-form SAT filter list: rows whose point count k is
+    small (< ``split_from``) are tested by their whole (small) SAT in
+    one catch-all conjunct; large-k branches contribute one conjunct
+    per separating axis, each guarded ``CASE WHEN k = K THEN term ELSE
+    TRUE END`` so it is vacuous for other sizes. A leading size-range
+    conjunct drops k = 0, k > max_pts and NULL geometries exactly like
+    the branch CASE's NULL arm did. ANDing the returned columns equals
+    :func:`_sat_size_branches_sql` row-for-row."""
+    out = [F.expr(f"(({n_sql}) >= 1 AND ({n_sql}) <= {max_pts})")]
+    small = [k for k in range(1, min(split_from, max_pts + 1))]
+    if small:
+        branches = "".join(
+            f" WHEN ({n_sql}) = {k} THEN "
+            + _sat_convex_intersects_sql([point_at(i) for i in range(k)], aoi_ring)
+            for k in small
+        )
+        out.append(F.expr(f"(CASE{branches} ELSE TRUE END)"))
+    for k in range(split_from, max_pts + 1):
+        for term in _sat_conjunct_sqls([point_at(i) for i in range(k)], aoi_ring):
+            out.append(F.expr(f"(CASE WHEN ({n_sql}) = {k} THEN {term} ELSE TRUE END)"))
+    return out
+
+
+def corners_intersect_aoi_filters(
+    corners: str, aoi_ring: np.ndarray
+) -> list[Column]:
+    """Conjunct-form of :func:`corners_intersect_aoi` (apply each
+    returned column as a ``where``): identical row set, but the k=4
+    SAT arrives as ~10 medium conjuncts that survive Janino
+    compilation instead of one expression that does not (r6)."""
+    q = f"`{corners}`"
+
+    def at(i: int):
+        return (f"element_at({q}, {i + 1}).lon",
+                f"element_at({q}, {i + 1}).lat")
+
+    return _sat_filter_columns(f"size({q})", at, aoi_ring, max_pts=4)
+
+
+def flat_ring_intersects_aoi_filters(
+    ring_col: str, aoi_ring: np.ndarray
+) -> list[Column]:
+    """Conjunct-form of :func:`flat_ring_intersects_aoi` (same split
+    rationale; k = 4 and 5 branches are split per axis)."""
+    q = f"`{ring_col}`"
+
+    def at(i: int):
+        return (f"element_at({q}, {i * 2 + 1})",
+                f"element_at({q}, {i * 2 + 2})")
+
+    return _sat_filter_columns(
+        f"cast(size({q})/2 as int)", at, aoi_ring, max_pts=5
+    )
+
+
 def corners_intersect_aoi(corners: str, aoi_ring: np.ndarray) -> Column:
     """SAT intersects for the catalog ``corners`` column NAME
     (array<struct<lon,lat>>, universally 4 entries) vs a constant
